@@ -1,0 +1,19 @@
+"""gantts_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the
+capabilities of r9y9/gantts: GAN-based statistical parametric speech
+synthesis (TTS) and voice conversion (VC) over WORLD vocoder features.
+
+Layers (SURVEY.md section 7):
+  core/           stream math, MLPG, masking (JAX device math + host solvers)
+  models/         generator/discriminator zoo as Flax modules (registry by name)
+  data/           .npy pipeline, deterministic splits, bucketed batching
+  train/          fused G+D jitted step, loop, optimizers, checkpoints, metrics
+  parallel/       mesh construction + data-parallel sharding over ICI
+  kernels/        Pallas TPU kernels (SRU scan, fused losses)
+  preprocessing/  host-side normalization/smoothing/alignment (nnmnkwii parity)
+  frontend/       WORLD/SPTK-equivalent vocoder (C++ host library + bindings)
+  io/             HTS label / question-set parsing, Merlin linguistic features
+"""
+
+__version__ = "0.1.0"
+
+from gantts_tpu import core  # noqa: F401
