@@ -1,0 +1,101 @@
+"""Recurrent trunks: masked multi-layer (bi)LSTM via lax.scan.
+
+TPU-native replacement for the reference's cuDNN ``nn.LSTM`` +
+``pack_padded_sequence`` stack (models.py:84, 100-112, 175, 184-187, 198,
+207-210).  Packing has no TPU analog; instead sequences stay padded to a
+bucketed static length and the recurrence is masked:
+
+  * carries freeze once t >= length (so final states match packing),
+  * outputs are zeroed past the length (matching ``pad_packed_sequence``).
+
+Performance notes (XLA/MXU):
+  * the input projection for ALL timesteps is hoisted out of the scan as one
+    big (B*T, in) x (in, 4H) matmul — only the (B, H) x (H, 4H) recurrent
+    matmul stays inside the scan body;
+  * weights are stored (in, 4H) so the scan-body matmul is MXU-shaped;
+  * the time loop is a single ``lax.scan`` per layer/direction — no Python
+    unrolling, compile time stays flat in T.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gantts_tpu.models.common import (
+    default_lengths,
+    reverse_padded,
+    torch_uniform_init,
+)
+
+
+class LSTMLayer(nn.Module):
+    """Single-direction masked LSTM layer (torch gate order i, f, g, o)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, T, D), mask: (B, T, 1)
+        B, T, D = x.shape
+        H = self.hidden_dim
+        bound = 1.0 / (H ** 0.5)
+        init = torch_uniform_init(bound)
+        w_ih = self.param("w_ih", init, (D, 4 * H))
+        w_hh = self.param("w_hh", init, (H, 4 * H))
+        # torch keeps two bias vectors (b_ih + b_hh); functionally one sum,
+        # but two draws changes the init distribution — keep both.
+        b_ih = self.param("b_ih", init, (4 * H,))
+        b_hh = self.param("b_hh", init, (4 * H,))
+
+        xp = x @ w_ih + (b_ih + b_hh)  # (B, T, 4H), hoisted out of the scan
+
+        def step(carry, inputs):
+            h, c = carry
+            xp_t, m_t = inputs  # (B, 4H), (B, 1)
+            gates = xp_t + h @ w_hh
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+            g = jnp.tanh(g)
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            h = m_t * h_new + (1.0 - m_t) * h
+            c = m_t * c_new + (1.0 - m_t) * c
+            return (h, c), h_new * m_t
+
+        h0 = jnp.zeros((B, H), x.dtype)
+        c0 = jnp.zeros((B, H), x.dtype)
+        xp_tm = jnp.swapaxes(xp, 0, 1)      # (T, B, 4H)
+        m_tm = jnp.swapaxes(mask, 0, 1)     # (T, B, 1)
+        (_, _), ys = jax.lax.scan(step, (h0, c0), (xp_tm, m_tm))
+        return jnp.swapaxes(ys, 0, 1)       # (B, T, H)
+
+
+class StackedLSTM(nn.Module):
+    """Multi-layer (bi)LSTM with torch-style inter-layer dropout."""
+
+    hidden_dim: int
+    num_layers: int
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, lengths=None, deterministic=True):
+        lengths = default_lengths(x, lengths)
+        T = x.shape[1]
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
+        mask = mask[:, :, None]
+        out = x
+        for layer in range(self.num_layers):
+            fwd = LSTMLayer(self.hidden_dim, name=f"l{layer}_fwd")(out, mask)
+            if self.bidirectional:
+                rev_in = reverse_padded(out, lengths)
+                bwd = LSTMLayer(self.hidden_dim, name=f"l{layer}_bwd")(rev_in, mask)
+                bwd = reverse_padded(bwd, lengths) * mask
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                out = fwd
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out

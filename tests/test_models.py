@@ -1,0 +1,168 @@
+"""Model zoo tests — mirrors reference tests/test_gantts.py:17-57 plus
+masking/bidirectionality/scan-equivalence checks specific to the TPU build."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gantts_tpu.core import unit_variance_mlpg_matrix, masked_mse_loss
+from gantts_tpu.models import (
+    MODEL_REGISTRY,
+    create_model,
+    include_parameter_generation,
+)
+from gantts_tpu.models.sru import linear_recurrence
+from gantts_tpu.models.common import reverse_padded
+
+WINDOWS2 = [
+    (0, 0, np.array([1.0])),
+    (1, 1, np.array([-0.5, 0.0, 0.5])),
+]
+
+
+def test_in2out_highway_forward_and_grad():
+    """Reference test_model parity (tests/test_gantts.py:17-57)."""
+    model = create_model("In2OutHighwayNet")
+    assert include_parameter_generation(model)
+
+    in_dim, T = 118, 100
+    static_dim = in_dim // 2
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, T, in_dim))
+    R = jnp.asarray(unit_variance_mlpg_matrix(WINDOWS2, T))
+    variables = model.init(rng, x, R)
+    x_out, y = model.apply(variables, x, R)
+    assert y.shape == (1, T, static_dim)
+    assert np.allclose(np.asarray(x_out), np.asarray(x))
+
+    # mini-batch + masked loss gradient smoke test
+    B = 8
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, in_dim))
+    y_tgt = jax.random.uniform(jax.random.PRNGKey(2), (B, T, static_dim))
+    lengths = jnp.array([50, 60, 70, 80, 90, 95, 99, 100])
+
+    def loss_fn(params):
+        _, y_hat = model.apply(params, x, R, lengths)
+        return masked_mse_loss(y_hat, y_tgt, lengths=lengths)
+
+    g = jax.grad(loss_fn)(variables)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in flat)
+
+
+@pytest.mark.parametrize("name", ["MLP", "SRURNN", "GRURNN", "LSTMRNN"])
+def test_generic_models_shapes(name):
+    model = create_model(name, in_dim=20, out_dim=7, num_hidden=2,
+                         hidden_dim=16, last_sigmoid=False)
+    assert not include_parameter_generation(model)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (3, 40, 20))
+    lengths = jnp.array([40, 25, 10])
+    variables = model.init(jax.random.PRNGKey(1), x, lengths)
+    y = model.apply(variables, x, lengths)
+    assert y.shape == (3, 40, 7)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.mark.parametrize("name", ["SRURNN", "GRURNN", "LSTMRNN"])
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_rnn_padding_invariance(name, bidirectional):
+    """Garbage in the padded region must not change valid-frame outputs."""
+    model = create_model(name, in_dim=6, out_dim=4, num_hidden=2,
+                         hidden_dim=8, bidirectional=bidirectional,
+                         last_sigmoid=False)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 30, 6))
+    lengths = jnp.array([20, 30])
+    variables = model.init(jax.random.PRNGKey(1), x, lengths)
+    y1 = model.apply(variables, x, lengths)
+    x2 = x.at[0, 20:].set(1e3)  # poison the padding
+    y2 = model.apply(variables, x2, lengths)
+    assert np.allclose(np.asarray(y1[0, :20]), np.asarray(y2[0, :20]),
+                       atol=1e-4), "padding leaked into valid frames"
+    assert np.allclose(np.asarray(y1[1]), np.asarray(y2[1]), atol=1e-4)
+
+
+def test_bidirectional_uses_future():
+    """Backward direction must actually propagate future info to frame 0."""
+    model = create_model("LSTMRNN", in_dim=4, out_dim=2, num_hidden=1,
+                         hidden_dim=8, bidirectional=True, last_sigmoid=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4))
+    lengths = jnp.array([4])
+    variables = model.init(jax.random.PRNGKey(1), x, lengths)
+    y1 = model.apply(variables, x, lengths)
+    x2 = x.at[0, 3].add(10.0)  # change only the LAST frame
+    y2 = model.apply(variables, x2, lengths)
+    assert np.abs(np.asarray(y1[0, 0]) - np.asarray(y2[0, 0])).max() > 1e-4
+
+
+def test_linear_recurrence_matches_sequential():
+    """associative_scan formulation == sequential definition of the SRU cell."""
+    rng = np.random.RandomState(0)
+    B, T, H = 3, 50, 5
+    f = 1 / (1 + np.exp(-rng.randn(B, T, H)))
+    b = rng.randn(B, T, H)
+    c_par = np.asarray(linear_recurrence(jnp.asarray(f), jnp.asarray(b)))
+    c_seq = np.zeros((B, T, H))
+    c = np.zeros((B, H))
+    for t in range(T):
+        c = f[:, t] * c + b[:, t]
+        c_seq[:, t] = c
+    assert np.allclose(c_par, c_seq, atol=1e-5)
+
+
+def test_reverse_padded_involutive():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 3).astype(np.float32))
+    lengths = jnp.array([7, 10])
+    r = reverse_padded(x, lengths)
+    assert np.allclose(np.asarray(r[0, :7]), np.asarray(x[0, 6::-1]))
+    rr = reverse_padded(r, lengths)
+    assert np.allclose(np.asarray(rr[0, :7]), np.asarray(x[0, :7]))
+    assert np.allclose(np.asarray(rr[1]), np.asarray(x[1]))
+
+
+def test_mlp_sigmoid_and_dropout_rng():
+    model = create_model("MLP", in_dim=10, out_dim=1, num_hidden=2,
+                         hidden_dim=16, dropout=0.5, last_sigmoid=True)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 5, 10))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(variables, x)
+    assert ((np.asarray(y) >= 0) & (np.asarray(y) <= 1)).all()
+    # stochastic under train mode with a dropout rng
+    y1 = model.apply(variables, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    y2 = model.apply(variables, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_registry_surface():
+    assert set(MODEL_REGISTRY) == {
+        "In2OutHighwayNet", "In2OutRNNHighwayNet", "MLP",
+        "SRURNN", "GRURNN", "LSTMRNN"}
+    with pytest.raises(ValueError):
+        create_model("NoSuchModel")
+    # hparams-driven reflective construction (train.py:773-774 semantics)
+    from gantts_tpu import hparams
+    hp = hparams.vc.copy()
+    hp.generator_params["in_dim"] = 177
+    hp.generator_params["out_dim"] = 177
+    g = create_model(hp.generator, **hp.generator_params)
+    d = create_model(hp.discriminator, **hp.discriminator_params)
+    assert include_parameter_generation(g)
+    assert not include_parameter_generation(d)
+
+
+def test_in2out_rnn_highway():
+    model = create_model("In2OutRNNHighwayNet", in_dim=12, out_dim=12,
+                         static_dim=6, num_hidden=2, hidden_dim=16,
+                         bidirectional=True)
+    T = 20
+    R = jnp.asarray(unit_variance_mlpg_matrix(WINDOWS2, T))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, T, 12))
+    lengths = jnp.array([15, 20])
+    variables = model.init(jax.random.PRNGKey(1), x, R, lengths)
+    x_out, y = model.apply(variables, x, R, lengths)
+    assert y.shape == (2, T, 6)
