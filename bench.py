@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark: G+D adversarial training throughput (frames/sec/chip).
+
+Workload = BASELINE.json config #4/#5 shape: tts_acoustic flagship — 6x512
+bidirectional SRU generator (22.9M params), linguistic-conditioned MLP
+discriminator, mgc-stream adversarial loss with mask_nth_mgc_for_adv_loss=2,
+full fused G+D step (G fwd/bwd, D update, G update, device metrics),
+batch 20 x 512 frames (425-dim linguistic in, 187-dim WORLD features out).
+
+vs_baseline divides by a PyTorch-CPU implementation of the same training
+step (the reference's own stack on this host: the reference publishes no
+numbers — BASELINE.md — so the denominator is measured here, once, and
+cached in bench_baseline_cache.json).  The torch baseline uses the
+reference's LSTM fallback generator at the same size (the reference's SRU
+is CUDA-only and cannot run on CPU at all; LSTMRNN/GRURNN are its
+documented CPU-runnable alternatives for the same job, hparams.py:111).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from os.path import dirname, exists, join
+
+import numpy as np
+
+sys.path.insert(0, dirname(os.path.abspath(__file__)))
+
+B, T = 20, 512
+LIN_DIM, OUT_DIM = 425, 187
+CACHE = join(dirname(os.path.abspath(__file__)), "bench_baseline_cache.json")
+
+
+def bench_jax_tpu(steps=30, warmup=3):
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu import hparams
+    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.setup import init_models_and_states
+
+    hp = hparams.tts_acoustic.copy()
+    hp.generator_params.update(in_dim=LIN_DIM, out_dim=OUT_DIM)
+    # disc in_dim: 60 static mgc - 2 masked + 425 linguistic
+    hp.discriminator_params.update(in_dim=60 - 2 + LIN_DIM)
+
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                         np.zeros(OUT_DIM, np.float32),
+                         np.ones(OUT_DIM, np.float32))
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(B, T, LIN_DIM).astype(np.float32))
+    y = jnp.asarray(rs.rand(B, T, OUT_DIM).astype(np.float32))
+    lengths = jnp.asarray(
+        np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32))
+    R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
+    rng = __import__("jax").random.PRNGKey(0)
+
+    step = trainer.step_fn(train=True)
+    import jax.random as jr
+
+    for i in range(warmup):
+        rng, k = jr.split(rng)
+        gstate, dstate, out = step(gstate, dstate, None, x, y, lengths, R,
+                                   None, jnp.float32(1.0), k)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, k = jr.split(rng)
+        gstate, dstate, out = step(gstate, dstate, None, x, y, lengths, R,
+                                   None, jnp.float32(1.0), k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    frames = float(np.asarray(lengths).sum()) * steps
+    return frames / dt
+
+
+def bench_torch_cpu(steps=2, warmup=1):
+    """Reference-equivalent G+D step in PyTorch on this host's CPU."""
+    import torch
+    import torch.nn as nn
+
+    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    H, L = 512, 6  # same size as the flagship generator
+
+    class Gen(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(LIN_DIM, H, L, batch_first=True,
+                                bidirectional=True, dropout=0.2)
+            self.out = nn.Linear(2 * H, OUT_DIM)
+
+        def forward(self, x):
+            h, _ = self.lstm(x)
+            return self.out(h)
+
+    class Disc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            hd = 256
+            self.net = nn.Sequential(
+                nn.Linear(60 - 2 + LIN_DIM, hd), nn.LeakyReLU(0.01),
+                nn.Dropout(0.5), nn.Linear(hd, hd), nn.LeakyReLU(0.01),
+                nn.Dropout(0.5), nn.Linear(hd, hd), nn.LeakyReLU(0.01),
+                nn.Dropout(0.5), nn.Linear(hd, 1), nn.Sigmoid())
+
+        def forward(self, x):
+            return self.net(x)
+
+    g, d = Gen(), Disc()
+    og = torch.optim.Adagrad(g.parameters(), lr=0.01, weight_decay=1e-7)
+    od = torch.optim.Adagrad(d.parameters(), lr=0.01, weight_decay=1e-7)
+
+    rs = np.random.RandomState(0)
+    x = torch.from_numpy(rs.rand(B, T, LIN_DIM).astype(np.float32))
+    y = torch.from_numpy(rs.rand(B, T, OUT_DIM).astype(np.float32))
+    lengths = np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int64)
+    mask = (torch.arange(T)[None, :]
+            < torch.from_numpy(lengths)[:, None]).float()[..., None]
+    windows = [(0, 0, np.array([1.0])), (1, 1, np.array([-0.5, 0.0, 0.5])),
+               (1, 1, np.array([1.0, -2.0, 1.0]))]
+    R = torch.from_numpy(unit_variance_mlpg_matrix(windows, T))
+
+    def mlpg(u):  # (B, T, 3S) -> (B, T, S), window-major reorder
+        S = u.shape[-1] // 3
+        m = u.reshape(B, T, 3, S).transpose(1, 2).reshape(B, 3 * T, S)
+        return torch.matmul(R, m)
+
+    def step():
+        og.zero_grad(), od.zero_grad()
+        y_hat = g(x)
+        mgc_static = mlpg(y_hat[..., :180])
+        lf0_static = mlpg(y_hat[..., 180:183])
+        bap_static = mlpg(y_hat[..., 184:187])
+        y_hat_static = torch.cat(
+            [mgc_static, lf0_static, y_hat[..., 183:184], bap_static], -1)
+        y_static = torch.cat(
+            [mlpg(y[..., :180]), mlpg(y[..., 180:183]), y[..., 183:184],
+             mlpg(y[..., 184:187])], -1)
+        Tm = mask.sum()
+        adv_real = torch.cat([x, y_static[..., 2:60]], -1)
+        adv_fake = torch.cat([x, y_hat_static.detach()[..., 2:60]], -1)
+        loss_d = (-(torch.log(d(adv_real) + 1e-20) * mask).sum() / Tm
+                  - (torch.log(1 - d(adv_fake) + 1e-20) * mask).sum() / Tm)
+        loss_d.backward()
+        torch.nn.utils.clip_grad_norm_(d.parameters(), 1.0)
+        od.step()
+        mge = ((y_hat_static - y_static) ** 2 * mask).sum() / Tm
+        adv_g = torch.cat([x, y_hat_static[..., 2:60]], -1)
+        loss_adv = -(torch.log(d(adv_g) + 1e-20) * mask).sum() / Tm
+        (mge + loss_adv).backward()
+        torch.nn.utils.clip_grad_norm_(g.parameters(), 1.0)
+        og.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return float(lengths.sum()) * steps / dt
+
+
+def main():
+    fps = bench_jax_tpu()
+    if exists(CACHE):
+        with open(CACHE) as f:
+            baseline = json.load(f)["torch_cpu_frames_per_sec"]
+    else:
+        baseline = bench_torch_cpu()
+        with open(CACHE, "w") as f:
+            json.dump({"torch_cpu_frames_per_sec": baseline,
+                       "workload": f"B={B} T={T} acoustic GAN step"}, f)
+    print(json.dumps({
+        "metric": "gan_train_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

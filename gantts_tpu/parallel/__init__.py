@@ -1,0 +1,100 @@
+"""Device-mesh parallelism: data-parallel GAN training over ICI.
+
+The reference is strictly single-device (SURVEY.md section 2.4: no DDP, no
+collectives anywhere).  The TPU build adds DP as a first-class capability:
+
+  * ``make_mesh`` builds a 1-D ``jax.sharding.Mesh`` over all (or N) devices
+    with axis name ``"data"``;
+  * batches are sharded over the leading (batch) axis, parameters and
+    optimizer states are replicated;
+  * the fused GAN step is jitted with these shardings — XLA's SPMD
+    partitioner inserts the gradient/metric all-reduces (psum over ICI)
+    automatically, because every loss is a global sum over the batch axis
+    normalized by a global mask sum.  No hand-written collectives, no NCCL
+    analog: the mesh + sharding annotations ARE the communication layer.
+
+Multi-host: under ``jax.distributed`` the same code runs unchanged — the
+mesh spans all hosts' devices and each host feeds its local batch shard
+(``host_local_array_to_global_array``); the data loader shards files by
+``jax.process_index()``.
+
+Works identically on a CPU mesh (tests use
+``XLA_FLAGS=--xla_force_host_platform_device_count=8``) and on TPU slices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gantts_tpu.train.step import GanTrainer
+
+
+def make_mesh(n_devices=None, axis_name="data"):
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name="data"):
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def pad_batch_to_devices(arrs, lengths, n_devices):
+    """Pad the batch axis with zero-length rows to a multiple of n_devices."""
+    B = arrs[0].shape[0]
+    rem = (-B) % n_devices
+    if rem == 0:
+        return arrs, lengths
+    arrs = [np.concatenate(
+        [a, np.zeros((rem,) + a.shape[1:], a.dtype)], axis=0) for a in arrs]
+    lengths = np.concatenate([lengths, np.zeros(rem, lengths.dtype)])
+    return arrs, lengths
+
+
+class DataParallelGanTrainer(GanTrainer):
+    """GanTrainer whose jitted step shards the batch over a mesh.
+
+    Same step body as the single-chip trainer — the only delta is sharding
+    annotations.  States/params/R/scalars are replicated; x/y/lengths/z are
+    sharded on the batch axis.
+    """
+
+    def __init__(self, *args, mesh=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        if mesh is None:
+            mesh = make_mesh()
+        self.mesh = mesh
+
+    def step_fn(self, train: bool):
+        key = bool(train)
+        if key not in self._jitted:
+            repl = replicated(self.mesh)
+            data = batch_sharding(self.mesh)
+            in_shardings = (
+                repl,  # gstate
+                repl,  # dstate
+                repl,  # ref_params (None ok)
+                data,  # x
+                data,  # y
+                data,  # lengths
+                repl,  # R
+                data if self.cfg.add_noise else repl,  # z (None ok)
+                repl,  # adv_w
+                repl,  # rng
+            )
+            self._jitted[key] = jax.jit(
+                partial(self._step, train),
+                in_shardings=in_shardings,
+                out_shardings=repl,
+                donate_argnums=(0, 1),
+            )
+        return self._jitted[key]

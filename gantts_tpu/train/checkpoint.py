@@ -1,0 +1,52 @@
+"""Checkpoint save/restore with the reference's naming contract.
+
+The 5-stage GAN curriculum (train_gan.sh:40-44) hands state between separate
+processes purely through files named
+``checkpoint_epoch{N}_{Generator|Discriminator}.pth`` containing
+{state_dict, optimizer, global_epoch} (reference train.py:162-171, 651-658).
+We keep the exact names and keys (contents are JAX pytrees, pickled with
+device arrays pulled to host) so curriculum drivers port unchanged.
+"""
+
+from __future__ import annotations
+
+import pickle
+from os.path import join
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(state, epoch, checkpoint_dir, name):
+    """state: TrainState(params, opt_state). Name in {Generator, Discriminator}."""
+    checkpoint_path = join(
+        checkpoint_dir, f"checkpoint_epoch{epoch}_{name}.pth")
+    payload = {
+        "state_dict": jax.device_get(state.params),
+        "optimizer": jax.device_get(state.opt_state),
+        "global_epoch": int(epoch),
+    }
+    with open(checkpoint_path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print("Saved checkpoint:", checkpoint_path)
+    return checkpoint_path
+
+
+def load_checkpoint(path):
+    """Returns (params, opt_state_or_None, global_epoch)."""
+    print(f"Load checkpoint from: {path}")
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return (payload["state_dict"], payload.get("optimizer"),
+            int(payload["global_epoch"]))
+
+
+def tree_shapes_match(a, b):
+    """Structural compatibility check before adopting restored params."""
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        return False
+    return all(np.shape(x) == np.shape(y)
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))

@@ -1,0 +1,153 @@
+"""The epoch/phase training loop — host orchestration around the fused step.
+
+Faithful restructuring of the reference ``train_loop`` (train.py:435-648):
+same two-phase (train/test) epoch structure, the same dynamic adversarial
+weight ``adv_w = w_d * clip(E_mge/E_adv, 0, 1e3)`` carried as host-side
+epoch state (train.py:575, 601-607), the same logged series names, the same
+``checkpoint_epoch{N}_{Generator|Discriminator}.pth`` cadence.
+
+TPU-specific changes (all deliberate):
+  * MLPG matrices R are built once per bucketed length and cached
+    (the reference rebuilt R on the host per batch, train.py:509-512);
+  * per-batch scalars stay on device until the end of the epoch — the host
+    never blocks inside the batch loop, so XLA keeps the pipeline full
+    (the reference syncs per batch at train.py:588-595);
+  * learning-rate decay rewrites the injected optimizer hyperparameter
+    instead of mutating param groups (train.py:323-333 semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+from gantts_tpu.train.checkpoint import save_checkpoint
+from gantts_tpu.train.optim import exp_decayed_lr, set_learning_rate
+
+CHECKPOINT_INTERVAL = 10  # reference train.py:66
+
+
+class RMatrixCache:
+    """unit_variance_mlpg_matrix per bucketed length, device-resident."""
+
+    def __init__(self, windows):
+        self.windows = windows
+        self._cache = {}
+
+    def get(self, T):
+        if T not in self._cache:
+            self._cache[T] = jnp.asarray(
+                unit_variance_mlpg_matrix(self.windows, T))
+        return self._cache[T]
+
+
+def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
+               w_d=0.0, mse_w=0.0, mge_w=1.0, update_d=True, update_g=True,
+               checkpoint_dir=None, writer=None, global_epoch=0,
+               seed=1234):
+    """Returns (gstate, dstate, final_epoch)."""
+    cfg = trainer.cfg
+    r_cache = RMatrixCache(hp.windows) if cfg.has_dynamic else None
+    noise_rs = np.random.RandomState(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    E_loss_mge = 1.0
+    E_loss_adv = 1.0
+
+    log = writer.log_value if writer is not None else (lambda *a: None)
+
+    for epoch in range(global_epoch + 1, hp.nepoch + 1):
+        # LR schedule (reference train.py:466-473)
+        if hp.lr_decay_schedule and update_g:
+            set_learning_rate(gstate.opt_state, exp_decayed_lr(
+                hp.optimizer_g_params["lr"], epoch - 1, hp.lr_decay_epoch))
+        if hp.lr_decay_schedule and update_d:
+            set_learning_rate(dstate.opt_state, exp_decayed_lr(
+                hp.optimizer_d_params["lr"], epoch - 1, hp.lr_decay_epoch))
+
+        for phase in ["train", "test"]:
+            train = phase == "train"
+            step = trainer.step_fn(train)
+            N = len(dataset_loaders[phase])
+            acc = []  # device-scalar dicts, reduced once per phase
+
+            adv_w = (w_d * float(np.clip(E_loss_mge / E_loss_adv, 0, 1e3))
+                     if update_g else 0.0)
+
+            for x, y, lengths in dataset_loaders[phase]:
+                B, T = x.shape[0], x.shape[1]
+                R = r_cache.get(T) if r_cache is not None else None
+                if cfg.add_noise:
+                    z = noise_rs.rand(
+                        B, T, hp.generator_noise_dim).astype(np.float32)
+                    z = jnp.asarray(z)
+                else:
+                    z = None
+                rng, step_rng = jax.random.split(rng)
+                gstate, dstate, out = step(
+                    gstate, dstate, ref_params,
+                    jnp.asarray(x), jnp.asarray(y), jnp.asarray(lengths),
+                    R, z, jnp.float32(adv_w), step_rng)
+                acc.append(out)
+
+            # One host sync per phase
+            acc = jax.device_get(acc)
+            sums = {}
+            for out in acc:
+                for k, v in out.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            total_num_frames = sums.pop("num_frames", 1.0)
+
+            # Update expectations (reference train.py:601-607).  NOTE: as in
+            # the reference, E_loss_mge includes the MSE term when mse_w != 0.
+            if update_d and update_g and phase == "train":
+                E_loss_mge = (mse_w * sums.get("mse", 0.0)
+                              + mge_w * sums.get("mge", 0.0)) / N
+                E_loss_adv = sums.get("loss_adv", 0.0) / N
+                log("E(mge)", E_loss_mge, epoch)
+                log("E(adv)", E_loss_adv, epoch)
+                log("MGE/ADV loss weight", E_loss_mge / E_loss_adv, epoch)
+
+            # Loss series (train.py:609-620)
+            for ty, enabled in [("mse", update_g),
+                                ("mge", update_g),
+                                ("discriminator", cfg.update_d),
+                                ("loss_real_d", cfg.update_d),
+                                ("loss_fake_d", cfg.update_d),
+                                ("loss_adv", update_g and cfg.update_d),
+                                ("generator", update_g)]:
+                if enabled and ty in sums:
+                    log(f"{phase} {ty} loss", sums[ty] / N, epoch)
+
+            # Distortion metrics (train.py:622-625)
+            for k in ("mcd", "bap_mcd", "f0_rmse", "vuv_err", "dur_rmse"):
+                if k in sums:
+                    log(f"{phase} {k} metric", sums[k] / N, epoch)
+
+            # D accuracy (train.py:627-632)
+            if cfg.update_d:
+                log(f"Real {phase} acc",
+                    sums.get("real_correct_count", 0.0) / total_num_frames,
+                    epoch)
+                log(f"Fake {phase} acc",
+                    sums.get("fake_correct_count", 0.0) / total_num_frames,
+                    epoch)
+
+            # Spoofing rate (train.py:634-637)
+            if cfg.has_ref:
+                log(f"{phase} spoofing rate",
+                    sums.get("regard_fake_as_natural", 0.0) / total_num_frames,
+                    epoch)
+
+        if writer is not None:
+            writer.flush()
+
+        if checkpoint_dir is not None and epoch % CHECKPOINT_INTERVAL == 0:
+            for state, enabled, name in [(gstate, update_g, "Generator"),
+                                         (dstate, cfg.update_d, "Discriminator")]:
+                if enabled:
+                    save_checkpoint(state, epoch, checkpoint_dir, name)
+
+    return gstate, dstate, hp.nepoch

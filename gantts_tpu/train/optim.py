@@ -1,0 +1,97 @@
+"""Optimizer registry with torch-compatible semantics.
+
+The reference instantiates optimizers reflectively by name
+(``getattr(torch.optim, hp.optimizer_g)(params, **hp.optimizer_g_params)``,
+train.py:796-799) and clips gradients to global-norm 1.0 before every step
+(train.py:275, 317).  This module maps the same names + kwargs onto optax
+chains that reproduce torch's update rules exactly:
+
+  Adagrad: accumulator starts at 0 (optax default is 0.1!), eps=1e-10,
+           weight_decay added to the raw gradient (non-decoupled).
+  Adam:    eps=1e-8, (b1, b2) from ``betas``, non-decoupled weight_decay.
+
+The chain is wrapped in ``optax.inject_hyperparams`` so the learning rate
+lives in the optimizer state and can be rewritten between steps without
+recompiling the jitted train step — this is how the reference's
+``exp_lr_scheduler`` (train.py:323-333) is reproduced.
+"""
+
+from __future__ import annotations
+
+import optax
+
+GRAD_CLIP_NORM = 1.0  # reference train.py:275, 317
+
+
+def _adagrad(learning_rate, weight_decay=0.0):
+    txs = [optax.clip_by_global_norm(GRAD_CLIP_NORM)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10))
+    txs.append(optax.scale(-learning_rate))
+    return optax.chain(*txs)
+
+
+def _adam(learning_rate, b1=0.9, b2=0.999, weight_decay=0.0):
+    txs = [optax.clip_by_global_norm(GRAD_CLIP_NORM)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8))
+    txs.append(optax.scale(-learning_rate))
+    return optax.chain(*txs)
+
+
+def _sgd(learning_rate, momentum=0.0, weight_decay=0.0):
+    txs = [optax.clip_by_global_norm(GRAD_CLIP_NORM)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        txs.append(optax.trace(decay=momentum))
+    txs.append(optax.scale(-learning_rate))
+    return optax.chain(*txs)
+
+
+def create_optimizer(name, params_dict):
+    """Build an injected-hyperparams optimizer from the hparams surface.
+
+    ``params_dict`` uses the torch kwargs of the reference bundles
+    (``lr``, ``weight_decay``, ``betas``; hparams.py:48-51, 124-129).
+    Returns an optax GradientTransformation whose state carries
+    ``hyperparams['learning_rate']``.
+    """
+    kwargs = dict(params_dict)
+    lr = kwargs.pop("lr")
+    if name == "Adagrad":
+        factory, extra = _adagrad, {}
+        if "weight_decay" in kwargs:
+            extra["weight_decay"] = kwargs.pop("weight_decay")
+    elif name == "Adam":
+        factory, extra = _adam, {}
+        if "betas" in kwargs:
+            b1, b2 = kwargs.pop("betas")
+            extra["b1"], extra["b2"] = b1, b2
+        if "weight_decay" in kwargs:
+            extra["weight_decay"] = kwargs.pop("weight_decay")
+    elif name in ("SGD", "Sgd"):
+        factory, extra = _sgd, {}
+        extra.update({k: kwargs.pop(k) for k in ("momentum", "weight_decay")
+                      if k in kwargs})
+    else:
+        raise ValueError(f"Unknown optimizer {name!r} (Adagrad/Adam/SGD supported)")
+    if kwargs:
+        raise ValueError(f"Unsupported {name} kwargs: {sorted(kwargs)}")
+    # Only the learning rate is a dynamic (state-resident) hyperparameter;
+    # everything else stays a static Python value inside the chain.
+    return optax.inject_hyperparams(factory, static_args=tuple(extra))(
+        learning_rate=lr, **extra)
+
+
+def set_learning_rate(opt_state, lr):
+    """Rewrite the injected learning rate (exp_lr_scheduler equivalent)."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+def exp_decayed_lr(init_lr, epoch, lr_decay_epoch):
+    """lr * 0.1**(epoch // lr_decay_epoch) — reference train.py:323-333."""
+    return init_lr * (0.1 ** (epoch // lr_decay_epoch))

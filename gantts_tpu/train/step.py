@@ -1,0 +1,325 @@
+"""The fused G+D training step — one jitted XLA program per (phase, shape).
+
+This is the TPU-native re-design of the reference's per-batch body
+(train.py:492-595).  Where the reference runs generator forward, a separate
+discriminator backward with ``retain_graph=True``, then a generator backward
+(train.py:274, 316), here the whole iteration is ONE compiled program:
+
+  1. generator forward once, captured with ``jax.vjp`` so its backward graph
+     is shared between every consumer (the "retain_graph" analog, but fused);
+  2. discriminator loss/update on (real, stop-grad fake) + accuracy counts;
+  3. generator losses (masked MSE + MGE + adversarial through the *updated*
+     discriminator, matching the reference's update order) differentiated
+     w.r.t. the generator *outputs*, then pulled back through the saved vjp —
+     the generator body is executed exactly once forward and once backward;
+  4. spoofing-rate evaluation against an optional frozen reference
+     discriminator (train.py:549-558);
+  5. distortion metrics (MCD / BAP-MCD / F0-RMSE / VUV / duration-RMSE)
+     computed on device (the reference synced to host per batch,
+     train.py:588-595).
+
+Consciously fixed reference quirk (SURVEY.md section 7): the reference's
+``loss_d.backward(retain_graph=True)`` leaks discriminator-loss gradients
+into the generator's accumulated grads (zero_grad precedes the D update,
+train.py:538-539+274), so its generator step optimizes
+``loss_g + loss_d``'s generator component — almost surely unintended.  Here
+the D update sees ``stop_gradient(y_hat_static)`` and the G update sees only
+``loss_g``, i.e. textbook GAN semantics.  The In2Out protocol's inert MSE
+term (y_hat == the input, models.py:69) IS preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+
+from gantts_tpu.core.masking import masked_mse_loss, sequence_mask
+from gantts_tpu.core.paramgen import multi_stream_mlpg
+from gantts_tpu.core.streams import (
+    get_static_features,
+    get_static_stream_sizes,
+    select_streams,
+)
+from gantts_tpu.models import include_parameter_generation
+from gantts_tpu.train import metrics as M
+
+EPS = 1e-20  # reference train.py:246, 285
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static (compile-time) configuration distilled from an hparams bundle."""
+
+    name: str                      # "vc" | "duration" | "acoustic"
+    stream_sizes: tuple
+    has_dynamic_features: tuple
+    num_windows: int
+    adversarial_streams: Optional[tuple]
+    mask_nth_mgc_for_adv_loss: int
+    discriminator_linguistic_condition: bool
+    order: int = 59
+    mse_w: float = 0.0
+    mge_w: float = 1.0
+    update_d: bool = True
+    update_g: bool = True
+    use_adv: bool = True           # w_d > 0
+    has_ref: bool = False
+    add_noise: bool = False
+
+    @classmethod
+    def from_hparams(cls, hp, w_d, mse_w, mge_w, update_d, update_g,
+                     has_ref=False):
+        return cls(
+            name=hp.name,
+            stream_sizes=tuple(hp.stream_sizes),
+            has_dynamic_features=tuple(hp.has_dynamic_features),
+            num_windows=len(hp.windows),
+            adversarial_streams=(tuple(hp.adversarial_streams)
+                                 if hp.adversarial_streams is not None else None),
+            mask_nth_mgc_for_adv_loss=hp.mask_nth_mgc_for_adv_loss,
+            discriminator_linguistic_condition=hp.discriminator_linguistic_condition,
+            order=getattr(hp, "order", 59),
+            mse_w=mse_w, mge_w=mge_w,
+            update_d=update_d and w_d > 0,
+            update_g=update_g,
+            use_adv=w_d > 0,
+            has_ref=has_ref,
+            add_noise=hp.generator_add_noise,
+        )
+
+    @property
+    def static_stream_sizes(self):
+        return tuple(int(s) for s in get_static_stream_sizes(
+            self.stream_sizes, self.has_dynamic_features, self.num_windows))
+
+    @property
+    def has_dynamic(self):
+        return any(self.has_dynamic_features)
+
+
+def get_selected_static_stream(y_static, cfg: StepConfig):
+    """Adversarial stream selection + leading-mgc masking (train.py:232-242)."""
+    y_sel = select_streams(y_static, cfg.static_stream_sizes,
+                           streams=cfg.adversarial_streams)
+    if cfg.mask_nth_mgc_for_adv_loss > 0:
+        y_sel = y_sel[..., cfg.mask_nth_mgc_for_adv_loss:]
+    return y_sel
+
+
+def _split_streams_inv_scale(y_static, Y_mean, Y_std, cfg: StepConfig):
+    """train.py:358-396: split acoustic statics and denormalize per stream.
+
+    Stats vectors are indexed in the static+dynamic domain (the stats are for
+    the full 187-dim feature), statics take the leading block of each stream.
+    """
+    mgc_dim, lf0_dim, vuv_dim, bap_dim = cfg.stream_sizes
+    K = cfg.num_windows
+    lf0_start = mgc_dim
+    vuv_start = lf0_start + lf0_dim
+    bap_start = vuv_start + vuv_dim
+    s_mgc, s_lf0, s_vuv, s_bap = cfg.static_stream_sizes
+
+    mgc = y_static[..., :s_mgc]
+    lf0 = y_static[..., s_mgc:s_mgc + s_lf0]
+    vuv = y_static[..., s_mgc + s_lf0]
+    bap = y_static[..., s_mgc + s_lf0 + s_vuv:]
+
+    mgc = mgc * Y_std[:mgc_dim // K] + Y_mean[:mgc_dim // K]
+    lf0 = lf0 * Y_std[lf0_start:lf0_start + lf0_dim // K] + \
+        Y_mean[lf0_start:lf0_start + lf0_dim // K]
+    bap = bap * Y_std[bap_start:bap_start + bap_dim // K] + \
+        Y_mean[bap_start:bap_start + bap_dim // K]
+    vuv = vuv * Y_std[vuv_start] + Y_mean[vuv_start]
+    vuv = (vuv > 0.5).astype(jnp.float32)
+    return mgc, lf0, vuv, bap
+
+
+def compute_distortions(y_static, y_hat_static, Y_mean, Y_std, mask,
+                        cfg: StepConfig):
+    """Device-side equivalent of train.py:399-432."""
+    if cfg.name == "acoustic":
+        mgc, lf0, vuv, bap = _split_streams_inv_scale(
+            y_static, Y_mean, Y_std, cfg)
+        mgc_h, lf0_h, vuv_h, bap_h = _split_streams_inv_scale(
+            y_hat_static, Y_mean, Y_std, cfg)
+        f0_mse = M.lf0_mean_squared_error(lf0, vuv, lf0_h, vuv_h, mask,
+                                          linear_domain=True)
+        return {
+            "mcd": M.melcd(mgc[..., 1:], mgc_h[..., 1:], mask),
+            "bap_mcd": M.melcd(bap, bap_h, mask) / 10.0,
+            "f0_rmse": jnp.sqrt(f0_mse),
+            "vuv_err": M.vuv_error(vuv, vuv_h, mask),
+        }
+    elif cfg.name == "duration":
+        a = y_static * Y_std + Y_mean
+        b = y_hat_static * Y_std + Y_mean
+        return {"dur_rmse": jnp.sqrt(M.mean_squared_error(a, b, mask))}
+    elif cfg.name == "vc":
+        sd = cfg.order
+        a = y_static * Y_std[:sd] + Y_mean[:sd]
+        b = y_hat_static * Y_std[:sd] + Y_mean[:sd]
+        return {"mcd": M.melcd(a, b, mask)}
+    else:
+        raise AssertionError(cfg.name)
+
+
+class GanTrainer:
+    """Holds models/optimizers/static config; compiles one step per
+    (phase, batch-shape) and caches it."""
+
+    def __init__(self, model_g, model_d, tx_g, tx_d, cfg: StepConfig,
+                 Y_mean, Y_std, model_ref=None):
+        self.model_g = model_g
+        self.model_d = model_d
+        self.model_ref = model_ref if model_ref is not None else model_d
+        self.tx_g = tx_g
+        self.tx_d = tx_d
+        self.cfg = cfg
+        self.Y_mean = jnp.asarray(Y_mean, jnp.float32)
+        self.Y_std = jnp.asarray(Y_std, jnp.float32)
+        self._jitted = {}
+
+    # -- generator forward under both protocols (train.py:336-355) ----------
+    def _gen_forward(self, params, gen_in, R, lengths, train, rng):
+        rngs = {"dropout": rng} if train else None
+        det = not train
+        if include_parameter_generation(self.model_g):
+            y_hat, y_hat_static = self.model_g.apply(
+                params, gen_in, R, lengths, deterministic=det, rngs=rngs)
+        else:
+            y_hat = self.model_g.apply(
+                params, gen_in, lengths, deterministic=det, rngs=rngs)
+            y_hat_static = multi_stream_mlpg(
+                y_hat, R, self.cfg.stream_sizes, self.cfg.has_dynamic_features)
+        return y_hat, y_hat_static
+
+    def _apply_d(self, params, feats, lengths, train, rng):
+        rngs = {"dropout": rng} if train else None
+        return self.model_d.apply(params, feats, lengths,
+                                  deterministic=not train, rngs=rngs)
+
+    def step_fn(self, train: bool):
+        """Return the jitted step for the given phase (compiled per shape)."""
+        key = bool(train)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                partial(self._step, train),
+                donate_argnums=(0, 1),
+                static_argnames=())
+        return self._jitted[key]
+
+    def _step(self, train, gstate, dstate, ref_params, x, y, lengths, R, z,
+              adv_w, rng):
+        cfg = self.cfg
+        T = x.shape[1]
+        mask = sequence_mask(lengths, T)[..., None]
+        Tm = jnp.sum(mask)
+
+        y_static = get_static_features(
+            y, cfg.num_windows, cfg.stream_sizes, cfg.has_dynamic_features)
+
+        gen_in = jnp.concatenate([x, z], axis=-1) if cfg.add_noise else x
+        rng_g, rng_dr, rng_df, rng_dg = jax.random.split(rng, 4)
+
+        # 1. generator forward, vjp captured for reuse
+        (y_hat, y_hat_static), g_vjp = jax.vjp(
+            lambda p: self._gen_forward(p, gen_in, R, lengths, train, rng_g),
+            gstate.params)
+
+        out = {"num_frames": jnp.sum(lengths)}
+
+        # 2. spoofing rate vs frozen reference D (always deterministic)
+        if cfg.has_ref:
+            y_ref = (get_selected_static_stream(y_hat_static, cfg)
+                     if cfg.adversarial_streams is not None else y_hat_static)
+            target = self.model_ref.apply(ref_params, y_ref, lengths,
+                                          deterministic=True)
+            out["regard_fake_as_natural"] = jnp.sum(
+                (target > 0.5).astype(jnp.float32) * mask)
+
+        # 3. discriminator update (train.py:245-279)
+        if cfg.update_d:
+            if cfg.adversarial_streams is not None:
+                y_adv = get_selected_static_stream(y_static, cfg)
+                y_hat_adv = get_selected_static_stream(
+                    jax.lax.stop_gradient(y_hat_static), cfg)
+            else:
+                y_adv = y_static
+                y_hat_adv = jax.lax.stop_gradient(y_hat_static)
+            if cfg.discriminator_linguistic_condition:
+                y_adv = jnp.concatenate([x, y_adv], axis=-1)
+                y_hat_adv = jnp.concatenate([x, y_hat_adv], axis=-1)
+
+            def d_loss_fn(params_d):
+                D_real = self._apply_d(params_d, y_adv, lengths, train, rng_dr)
+                D_fake = self._apply_d(params_d, y_hat_adv, lengths, train, rng_df)
+                loss_real = -jnp.sum(jnp.log(D_real + EPS) * mask) / Tm
+                loss_fake = -jnp.sum(jnp.log(1 - D_fake + EPS) * mask) / Tm
+                real_cc = jnp.sum((D_real > 0.5).astype(jnp.float32) * mask)
+                fake_cc = jnp.sum((D_fake < 0.5).astype(jnp.float32) * mask)
+                return loss_real + loss_fake, (loss_real, loss_fake,
+                                               real_cc, fake_cc)
+
+            (loss_d, (loss_real_d, loss_fake_d, real_cc, fake_cc)), grads_d = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(dstate.params)
+            if train:
+                updates, new_opt = self.tx_d.update(
+                    grads_d, dstate.opt_state, dstate.params)
+                dstate = TrainState(
+                    params=optax.apply_updates(dstate.params, updates),
+                    opt_state=new_opt)
+            out.update(discriminator=loss_d, loss_real_d=loss_real_d,
+                       loss_fake_d=loss_fake_d,
+                       real_correct_count=real_cc,
+                       fake_correct_count=fake_cc)
+
+        # 4. generator update (train.py:282-320); adversarial term through the
+        #    just-updated discriminator, as in the reference's sequencing.
+        if cfg.update_g:
+            def out_loss(y_hat_v, y_hat_static_v):
+                loss_mge = masked_mse_loss(y_hat_static_v, y_static, mask=mask)
+                loss_mse = masked_mse_loss(y_hat_v, y, mask=mask)
+                if cfg.use_adv:
+                    yh = (get_selected_static_stream(y_hat_static_v, cfg)
+                          if cfg.adversarial_streams is not None
+                          else y_hat_static_v)
+                    if cfg.discriminator_linguistic_condition:
+                        yh = jnp.concatenate([x, yh], axis=-1)
+                    D_fake_g = self._apply_d(dstate.params, yh, lengths,
+                                             train, rng_dg)
+                    loss_adv = -jnp.sum(jnp.log(D_fake_g + EPS) * mask) / Tm
+                else:
+                    loss_adv = jnp.float32(0.0)
+                loss_g = (cfg.mse_w * loss_mse + cfg.mge_w * loss_mge
+                          + adv_w * loss_adv)
+                return loss_g, (loss_mse, loss_mge, loss_adv)
+
+            (loss_g, (loss_mse, loss_mge, loss_adv)), grads_out = \
+                jax.value_and_grad(out_loss, argnums=(0, 1), has_aux=True)(
+                    y_hat, y_hat_static)
+            if train:
+                grads_g = g_vjp(grads_out)[0]
+                updates, new_opt = self.tx_g.update(
+                    grads_g, gstate.opt_state, gstate.params)
+                gstate = TrainState(
+                    params=optax.apply_updates(gstate.params, updates),
+                    opt_state=new_opt)
+            out.update(mse=loss_mse, mge=loss_mge, loss_adv=loss_adv,
+                       generator=loss_g)
+            out.update(compute_distortions(
+                y_static, jax.lax.stop_gradient(y_hat_static),
+                self.Y_mean, self.Y_std, mask, cfg))
+
+        return gstate, dstate, out

@@ -1,0 +1,226 @@
+"""End-to-end training-engine tests on synthetic corpora (CPU, small shapes).
+
+Covers the reference's five BASELINE.json configs in miniature: MGE-only VC,
+GAN VC, duration model, adversarial acoustic model with stream selection +
+mgc masking + linguistic conditioning, and checkpoint/resume + the
+discriminator-warmup and spoofing-rate paths of the curriculum."""
+
+import json
+import os
+import subprocess
+import sys
+from os.path import dirname, exists, join
+
+import numpy as np
+import pytest
+
+REPO = dirname(dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.fixture(scope="module")
+def vc_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vcdata"))
+    from tests.make_synthetic_data import make_vc
+
+    make_vc(d, num=16, order=19)
+    return d
+
+
+@pytest.fixture(scope="module")
+def acoustic_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("acdata"))
+    from tests.make_synthetic_data import make_acoustic
+
+    make_acoustic(d, num=14)
+    return d
+
+
+def _small_vc_hp():
+    from gantts_tpu import hparams
+
+    hp = hparams.vc.copy()
+    hp.parse("nepoch=3,batch_size=4,batch_bucket_multiple=16")
+    hp.order = 19
+    hp.stream_sizes = [19 * 3]
+    hp.generator_params.update(
+        in_dim=None, out_dim=None, static_dim=19, num_hidden=1, hidden_dim=32)
+    hp.discriminator_params.update(in_dim=19, num_hidden=1, hidden_dim=16)
+    return hp
+
+
+def _run_vc(vc_corpus, hp, w_d, mse_w=0.0, mge_w=1.0, update_g=True,
+            ckpt=None, checkpoint_g=None, checkpoint_d=None, ref_params=None,
+            global_epoch=0):
+    from gantts_tpu.train import (
+        GanTrainer, StepConfig, TrainState, load_checkpoint, train_loop)
+    from gantts_tpu.train.setup import (
+        init_models_and_states, load_arrays, prepare_vc)
+
+    X, Y, lens = load_arrays(join(vc_corpus, "X"), join(vc_corpus, "Y"))
+    loaders, Y_mean, Y_std = prepare_vc(X, Y, lens, hp, vc_corpus)
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    if checkpoint_g:
+        params, opt, ep = load_checkpoint(checkpoint_g)
+        gstate = TrainState(params=params, opt_state=opt)
+    if checkpoint_d:
+        params, opt, ep = load_checkpoint(checkpoint_d)
+        dstate = TrainState(params=params, opt_state=opt)
+    cfg = StepConfig.from_hparams(hp, w_d, mse_w, mge_w, w_d > 0, update_g,
+                                  has_ref=ref_params is not None)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
+
+    class Recorder:
+        def __init__(self):
+            self.rows = []
+
+        def log_value(self, name, value, step):
+            self.rows.append((name, float(value), step))
+
+        def flush(self):
+            pass
+
+    rec = Recorder()
+    gstate, dstate, ep = train_loop(
+        trainer, gstate, dstate, ref_params, loaders, hp,
+        w_d=w_d, mse_w=mse_w, mge_w=mge_w, update_d=w_d > 0,
+        update_g=update_g, checkpoint_dir=ckpt, writer=rec,
+        global_epoch=global_epoch)
+    return gstate, dstate, rec.rows
+
+
+def _series(rows, name):
+    return [v for (n, v, s) in rows if n == name]
+
+
+def test_vc_mge_only_loss_decreases(vc_corpus):
+    """BASELINE config #1: MGE-only In2OutHighwayNet VC."""
+    hp = _small_vc_hp()
+    _, _, rows = _run_vc(vc_corpus, hp, w_d=0.0)
+    mge = _series(rows, "train mge loss")
+    assert len(mge) == 3
+    assert mge[-1] < mge[0], f"MGE did not decrease: {mge}"
+    assert all(np.isfinite(mge))
+    mcd = _series(rows, "train mcd metric")
+    assert len(mcd) == 3 and all(np.isfinite(mcd))
+    assert mcd[-1] < mcd[0]
+    # D-only series must be absent when w_d = 0 (reference train.py:610-620)
+    assert not _series(rows, "train discriminator loss")
+
+
+def test_vc_gan_mode(vc_corpus):
+    """Adversarial mode: D losses logged, finite, accuracies in [0, 1]."""
+    hp = _small_vc_hp()
+    _, _, rows = _run_vc(vc_corpus, hp, w_d=1.0)
+    for name in ("train discriminator loss", "train loss_adv loss",
+                 "train generator loss", "E(mge)", "E(adv)"):
+        vals = _series(rows, name)
+        assert vals and all(np.isfinite(vals)), name
+    for name in ("Real train acc", "Fake train acc"):
+        vals = _series(rows, name)
+        assert vals and all(0.0 <= v <= 1.0 for v in vals), (name, vals)
+
+
+def test_checkpoint_resume_and_warmup(vc_corpus, tmp_path):
+    """Curriculum mechanics: save -> D-warmup from G ckpt -> spoofing ref."""
+    from gantts_tpu.train import load_checkpoint
+
+    hp = _small_vc_hp()
+    hp.nepoch = 10  # hits the checkpoint_interval=10 save
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir)
+    _run_vc(vc_corpus, hp, w_d=0.0, ckpt=ckpt_dir)
+    g_path = join(ckpt_dir, "checkpoint_epoch10_Generator.pth")
+    assert exists(g_path), os.listdir(ckpt_dir)
+
+    params, opt, ep = load_checkpoint(g_path)
+    assert ep == 10
+
+    # discriminator warmup: G frozen (update_g=False), from the G checkpoint
+    hp2 = _small_vc_hp()
+    hp2.nepoch = 2
+    _, dstate, rows = _run_vc(vc_corpus, hp2, w_d=1.0, update_g=False,
+                              checkpoint_g=g_path)
+    d_loss = _series(rows, "train discriminator loss")
+    assert d_loss and all(np.isfinite(d_loss))
+    assert not _series(rows, "train generator loss")  # G not updated
+
+    # spoofing rate against a reference discriminator
+    hp3 = _small_vc_hp()
+    hp3.nepoch = 2
+    _, _, rows = _run_vc(vc_corpus, hp3, w_d=1.0,
+                         ref_params=dstate.params)
+    sp = _series(rows, "train spoofing rate")
+    assert sp and all(0.0 <= v <= 1.0 for v in sp)
+
+
+def test_acoustic_gan_with_stream_selection(acoustic_corpus):
+    """BASELINE config #4: mgc-stream adv loss + mask_nth_mgc +
+    linguistic-conditioned discriminator + noise-input generator (config #5)."""
+    from gantts_tpu import hparams
+    from gantts_tpu.train import GanTrainer, StepConfig, train_loop
+    from gantts_tpu.train.setup import (
+        init_models_and_states, load_arrays, prepare_tts)
+
+    hp = hparams.tts_acoustic.copy()
+    hp.parse("nepoch=2,batch_size=4,batch_bucket_multiple=16,"
+             "generator_add_noise=true,generator_noise_dim=8")
+    hp.stream_sizes = [60, 3, 1, 3]
+    hp.order = 20
+    hp.generator_params.update(
+        in_dim=None, out_dim=None, num_hidden=2, hidden_dim=16)
+    hp.discriminator_params.update(in_dim=None, num_hidden=1, hidden_dim=16)
+
+    X, Y, lens = load_arrays(join(acoustic_corpus, "X_acoustic"),
+                             join(acoustic_corpus, "Y_acoustic"))
+    loaders, Y_mean, Y_std = prepare_tts(X, Y, lens, hp, acoustic_corpus)
+    # dim inference: selected mgc static (20) - mask 2 + linguistic 30
+    assert hp.discriminator_params["in_dim"] == 20 - 2 + 30
+    assert hp.generator_params["in_dim"] == 30 + 8  # lin + noise
+
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    cfg = StepConfig.from_hparams(hp, 1.0, 0.0, 1.0, True, True)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
+
+    rows = []
+
+    class W:
+        def log_value(self, n, v, s):
+            rows.append((n, float(v), s))
+
+        def flush(self):
+            pass
+
+    train_loop(trainer, gstate, dstate, None, loaders, hp,
+               w_d=1.0, update_d=True, update_g=True, writer=W())
+    mcds = [v for (n, v, s) in rows if n == "train mcd metric"]
+    vuvs = [v for (n, v, s) in rows if n == "train vuv_err metric"]
+    assert mcds and all(np.isfinite(mcds))
+    assert vuvs and all(0 <= v <= 1 for v in vuvs)
+    # stats were persisted under the eval-script names (train.py:748-751)
+    for f in ("X_acoustic_data_min", "X_acoustic_data_max",
+              "Y_acoustic_data_mean", "Y_acoustic_data_var"):
+        assert exists(join(acoustic_corpus, f + ".npy"))
+
+
+def test_train_cli_smoke(vc_corpus, tmp_path):
+    """Drive the actual CLI (reference train.py:4-23 surface)."""
+    ckpt = str(tmp_path / "ck")
+    log = str(tmp_path / "log")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, join(REPO, "train.py"),
+         join(vc_corpus, "X"), join(vc_corpus, "Y"),
+         "--hparams_name=vc",
+         "--hparams=nepoch=1,batch_size=4,order=19,stream_sizes=[57],"
+         "generator_params={'in_dim': None, 'out_dim': None, 'num_hidden': 1,"
+         " 'hidden_dim': 16, 'static_dim': 19, 'dropout': 0.5},"
+         "discriminator_params={'in_dim': 19, 'out_dim': 1, 'num_hidden': 1,"
+         " 'hidden_dim': 8, 'dropout': 0.5, 'last_sigmoid': True}",
+         "--w_d=0", f"--checkpoint-dir={ckpt}", f"--log-event-path={log}"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert exists(join(ckpt, "checkpoint_epoch1_Generator.pth"))
+    with open(join(log, "scalars.jsonl")) as f:
+        tags = {json.loads(line)["tag"] for line in f}
+    assert "train mge loss" in tags and "test mcd metric" in tags

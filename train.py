@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Training script for GAN-based TTS and VC models (TPU-native).
+
+Flag-for-flag surface of the reference train.py:1-23 (argparse instead of
+docopt — docopt is not in this environment):
+
+usage: train.py [options] <inputs_dir> <outputs_dir>
+
+options:
+    --hparams_name=<name>       Name of hyper params [default: vc].
+    --hparams=<params>          Hyper parameters to be overridden [default: ].
+    --checkpoint-dir=<dir>      Where to save models [default: checkpoints].
+    --checkpoint-g=<name>       Load generator from checkpoint if given.
+    --checkpoint-d=<name>       Load discriminator from checkpoint if given.
+    --checkpoint-r=<name>       Load reference model to compute spoofing rate.
+    --max_files=<N>             Max num files to be collected. [default: -1]
+    --discriminator-warmup      Warmup discriminator.
+    --w_d=<f>                   Adversarial (ADV) loss weight [default: 1.0].
+    --mse_w=<f>                 Mean squared error (MSE) loss weight [default: 0.0].
+    --mge_w=<f>                 Minimum generation error (MGE) loss weight [default: 1.0].
+    --restart_epoch=<N>         Restart epoch [default: -1].
+    --reset_optimizers          Reset optimizers, otherwise restored from checkpoint.
+    --log-event-path=<name>     Log event path.
+    --disable-slack             Accepted for compatibility (no-op here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from os.path import abspath, exists, join
+from warnings import warn
+
+import numpy as np
+
+
+def build_arg_parser():
+    p = argparse.ArgumentParser(
+        description="Training script for GAN-based TTS and VC models")
+    p.add_argument("inputs_dir")
+    p.add_argument("outputs_dir")
+    p.add_argument("--hparams_name", default="vc")
+    p.add_argument("--hparams", default="")
+    p.add_argument("--checkpoint-dir", dest="checkpoint_dir",
+                   default="checkpoints")
+    p.add_argument("--checkpoint-g", dest="checkpoint_g", default=None)
+    p.add_argument("--checkpoint-d", dest="checkpoint_d", default=None)
+    p.add_argument("--checkpoint-r", dest="checkpoint_r", default=None)
+    p.add_argument("--max_files", type=int, default=-1)
+    p.add_argument("--discriminator-warmup", dest="discriminator_warmup",
+                   action="store_true")
+    p.add_argument("--w_d", type=float, default=1.0)
+    p.add_argument("--mse_w", type=float, default=0.0)
+    p.add_argument("--mge_w", type=float, default=1.0)
+    p.add_argument("--restart_epoch", type=int, default=-1)
+    p.add_argument("--reset_optimizers", action="store_true")
+    p.add_argument("--log-event-path", dest="log_event_path", default=None)
+    p.add_argument("--disable-slack", dest="disable_slack",
+                   action="store_true")
+    return p
+
+
+def main(argv=None):
+    since = time.time()
+    args = build_arg_parser().parse_args(argv)
+    print("Command line args:\n", vars(args))
+
+    # Persistent XLA compilation cache: curriculum stages re-run this script
+    # many times with identical shapes (train_gan.sh semantics) — without
+    # this, every stage repays ~30 s x (buckets x phases) of compiles.
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GANTTS_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/gantts_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gantts_tpu import hparams
+    from gantts_tpu.hparams import hparams_debug_string
+    from gantts_tpu.models import create_model
+    from gantts_tpu.train import (
+        GanTrainer,
+        StepConfig,
+        TrainState,
+        load_checkpoint,
+        save_checkpoint,
+        train_loop,
+    )
+    from gantts_tpu.train.logging import ScalarWriter
+    from gantts_tpu.train.setup import (
+        init_models_and_states,
+        load_arrays,
+        prepare_tts,
+        prepare_vc,
+    )
+
+    hp = getattr(hparams, args.hparams_name)
+    hp.parse(args.hparams)
+    print(hparams_debug_string(hp))
+
+    inputs_dir, outputs_dir = args.inputs_dir, args.outputs_dir
+    # Assuming inputs and outputs are in same parent directory (train.py:674-677)
+    data_dir = abspath(join(inputs_dir, os.pardir))
+    assert data_dir == abspath(join(outputs_dir, os.pardir))
+
+    max_files = args.max_files if args.max_files > 0 else None
+    w_d, mse_w, mge_w = args.w_d, args.mse_w, args.mge_w
+    update_d = w_d > 0
+    update_g = not args.discriminator_warmup
+
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+
+    X, Y, utt_lengths = load_arrays(inputs_dir, outputs_dir, max_files)
+
+    if hp.name == "vc":
+        loaders, Y_mean, Y_std = prepare_vc(X, Y, utt_lengths, hp, data_dir)
+    else:
+        loaders, Y_mean, Y_std = prepare_tts(X, Y, utt_lengths, hp, data_dir)
+
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    print("Generator:", model_g)
+    print("Discriminator:", model_d)
+
+    # Reference discriminator for spoofing rate (train.py:779-788)
+    ref_params = None
+    if args.checkpoint_r is not None:
+        try:
+            ref_params, _, _ = load_checkpoint(args.checkpoint_r)
+        except Exception:
+            warn("Invalid checkpoint for reference discriminator")
+            ref_params = None
+
+    global_epoch = 0
+    if args.checkpoint_d:
+        params, opt, global_epoch = load_checkpoint(args.checkpoint_d)
+        dstate = TrainState(params=params,
+                            opt_state=dstate.opt_state
+                            if args.reset_optimizers or opt is None else opt)
+    if args.checkpoint_g:
+        params, opt, global_epoch = load_checkpoint(args.checkpoint_g)
+        gstate = TrainState(params=params,
+                            opt_state=gstate.opt_state
+                            if args.reset_optimizers or opt is None else opt)
+    if args.restart_epoch >= 0:
+        global_epoch = args.restart_epoch
+
+    log_event_path = args.log_event_path
+    if log_event_path is None:
+        log_event_path = "log/run-test" + str(np.random.randint(100000))
+    print(f"Log event path: {log_event_path}")
+    writer = ScalarWriter(log_event_path)
+
+    cfg = StepConfig.from_hparams(hp, w_d, mse_w, mge_w, update_d, update_g,
+                                  has_ref=ref_params is not None)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
+
+    print(f"Start training from epoch {global_epoch}")
+    gstate, dstate, final_epoch = train_loop(
+        trainer, gstate, dstate, ref_params, loaders, hp,
+        w_d=w_d, mse_w=mse_w, mge_w=mge_w,
+        update_d=update_d, update_g=update_g,
+        checkpoint_dir=args.checkpoint_dir, writer=writer,
+        global_epoch=global_epoch)
+
+    for state, enabled, name in [(gstate, update_g, "Generator"),
+                                 (dstate, cfg.update_d, "Discriminator")]:
+        if enabled:
+            save_checkpoint(state, final_epoch, args.checkpoint_dir, name)
+
+    writer.close()
+    print(f"Finished! Elapsed: {(time.time() - since) / 60:.1f} min")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
