@@ -1,0 +1,127 @@
+"""ctypes bindings for the C++ host library (cpp/frontend.cpp).
+
+Loads ``libgantts_frontend.so`` from cpp/build (building it on first use if
+a toolchain is present); every entry point falls back to the NumPy oracle in
+its home module when the library is unavailable, so the framework remains
+fully functional without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from os.path import dirname, exists, join
+
+import numpy as np
+
+_REPO = dirname(dirname(dirname(os.path.abspath(__file__))))
+_LIB_PATHS = [
+    join(_REPO, "cpp", "build", "libgantts_frontend.so"),
+    join(_REPO, "cpp", "libgantts_frontend.so"),
+]
+
+_lib = None
+_tried = False
+
+
+def _build():
+    src_dir = join(_REPO, "cpp")
+    build_dir = join(src_dir, "build")
+    try:
+        subprocess.run(["cmake", "-S", src_dir, "-B", build_dir,
+                        "-DCMAKE_BUILD_TYPE=Release"],
+                       check=True, capture_output=True, timeout=120)
+        subprocess.run(["cmake", "--build", build_dir, "-j"],
+                       check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    for p in _LIB_PATHS:
+        if exists(p):
+            break
+    else:
+        if os.environ.get("GANTTS_TPU_NO_NATIVE"):
+            return None
+        if not _build():
+            return None
+        p = _LIB_PATHS[0]
+        if not exists(p):
+            return None
+    try:
+        lib = ctypes.CDLL(p)
+    except OSError:
+        return None
+
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    c_int32_p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.mlsa_synthesis.argtypes = [
+        c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int, c_double_p]
+    lib.mlsa_synthesis.restype = None
+
+    lib.dtw_path.argtypes = [
+        c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64,
+        ctypes.c_int64, c_int32_p, c_int32_p]
+    lib.dtw_path.restype = ctypes.c_int64
+
+    lib.banded_cholesky_solve.argtypes = [
+        c_double_p, ctypes.c_int64, ctypes.c_int, c_double_p, ctypes.c_int64]
+    lib.banded_cholesky_solve.restype = ctypes.c_int
+
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def mlsa_synthesis(excitation, b_frames, alpha, hopsize, pd=5):
+    lib = _load()
+    excitation = np.ascontiguousarray(excitation, dtype=np.float64)
+    b_frames = np.ascontiguousarray(b_frames, dtype=np.float64)
+    out = np.zeros_like(excitation)
+    lib.mlsa_synthesis(
+        _ptr(excitation), len(excitation), _ptr(b_frames),
+        b_frames.shape[0], b_frames.shape[1] - 1,
+        ctypes.c_double(alpha), int(hopsize), int(pd), _ptr(out))
+    return out
+
+
+def dtw_path(x, y):
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    tx, ty = x.shape[0], y.shape[0]
+    px = np.zeros(tx + ty, dtype=np.int32)
+    py = np.zeros(tx + ty, dtype=np.int32)
+    k = lib.dtw_path(_ptr(x), tx, _ptr(y), ty, x.shape[1],
+                     px.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                     py.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return px[:k].astype(np.int64), py[:k].astype(np.int64)
+
+
+def banded_cholesky_solve(ab, rhs, bandwidth):
+    """Solve the banded SPD system given scipy upper-banded storage ``ab``;
+    rhs (T, k) solved out-of-place."""
+    lib = _load()
+    ab = np.ascontiguousarray(ab, dtype=np.float64)
+    out = np.ascontiguousarray(rhs, dtype=np.float64).copy()
+    r = lib.banded_cholesky_solve(_ptr(ab), out.shape[0], int(bandwidth),
+                                  _ptr(out), out.shape[1])
+    if r != 0:
+        raise np.linalg.LinAlgError("banded matrix not SPD")
+    return out

@@ -1,0 +1,479 @@
+"""WORLD-equivalent vocoder: analysis (F0, spectral envelope, aperiodicity)
+and synthesis.
+
+This re-provides the pyworld (WORLD C++) surface the reference is built on
+(SURVEY.md section 2.3): ``dio``, ``stonemask``, ``harvest``, ``cheaptrick``,
+``d4c``, ``code_aperiodicity``, ``decode_aperiodicity``, ``synthesize``,
+``get_cheaptrick_fft_size`` (prepare_features_vc.py:46-48,
+prepare_features_tts.py:111-123, evaluation_vc.py:45-48/104-108,
+evaluation_tts.py:106/116-124).
+
+The algorithms are implemented from their published descriptions (Morise's
+DIO / CheapTrick / D4C papers), not ported from the WORLD sources:
+
+  dio         multi-channel zero-crossing/extremum interval analysis over a
+              half-octave low-pass filter bank; candidate per channel scored
+              by the dispersion of its four interval estimates.
+  stonemask   F0 refinement by parabolic-interpolated normalized
+              autocorrelation around the DIO estimate (same goal as WORLD's
+              instantaneous-frequency refinement: sub-bin F0 accuracy).
+  harvest     dio with denser candidate channels + stonemask refinement
+              (capability-equivalent stand-in; WORLD's harvest is a distinct
+              algorithm — documented deviation, revisit for quality parity).
+  cheaptrick  pitch-adaptive Hanning windowing (3 T0), 2f0/3 rectangular
+              spectral smoothing, quefrency liftering with sinc recovery and
+              the q1 = -0.15 compensation lifter.
+  d4c         band aperiodicity from the normalized autocorrelation of
+              band-passed signal segments at lag T0 (periodicity ratio),
+              expanded to a full spectral aperiodicity envelope.
+  synthesize  pulse-synchronous minimum-phase periodic component + frame
+              OLA noise component shaped by sp * ap^2.
+
+Host-side float64 throughout.  Per-utterance analysis is embarrassingly
+parallel and is fanned out across processes by the feature-prep CLIs; the
+synthesis inner loop has a C++ twin in cpp/frontend.cpp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DEFAULT_F0_FLOOR = 71.0
+DEFAULT_F0_CEIL = 800.0
+DEFAULT_FRAME_PERIOD = 5.0
+
+
+def get_cheaptrick_fft_size(fs, f0_floor=DEFAULT_F0_FLOOR):
+    """2^ceil(log2(3 fs / f0_floor + 1)) (WORLD's CheapTrick contract)."""
+    return int(2 ** np.ceil(np.log2(3.0 * fs / f0_floor + 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# F0 estimation
+# ---------------------------------------------------------------------------
+
+def _lowpass_fir(x, fs, cutoff, taps=None):
+    """Zero-phase windowed-sinc low-pass via FFT convolution."""
+    if taps is None:
+        taps = int(fs / cutoff * 4) | 1
+    n = np.arange(taps) - taps // 2
+    h = np.sinc(2 * cutoff / fs * n) * np.blackman(taps)
+    h /= h.sum()
+    import scipy.signal
+
+    return scipy.signal.fftconvolve(x, h, mode="same")
+
+
+def _interval_candidates(sig, fs, frame_times):
+    """Four interval-based F0 tracks (neg/pos zero crossings, peaks, dips),
+    interpolated at frame_times.  Returns (4, T) array (0 where undefined)."""
+    tracks = np.zeros((4, len(frame_times)))
+    s0, s1 = sig[:-1], sig[1:]
+
+    def events_to_track(locs, row):
+        if len(locs) < 3:
+            return
+        ivals = np.diff(locs) / fs
+        good = ivals > 0
+        if good.sum() < 2:
+            return
+        centers = (locs[:-1] + locs[1:]) / 2 / fs
+        f0s = 1.0 / ivals
+        tracks[row] = np.interp(frame_times, centers[good], f0s[good],
+                                left=f0s[good][0], right=f0s[good][-1])
+
+    neg = np.where((s0 > 0) & (s1 <= 0))[0].astype(np.float64)
+    pos = np.where((s0 < 0) & (s1 >= 0))[0].astype(np.float64)
+    d0, d1 = np.diff(sig)[:-1], np.diff(sig)[1:]
+    peaks = np.where((d0 > 0) & (d1 <= 0))[0].astype(np.float64) + 1
+    dips = np.where((d0 < 0) & (d1 >= 0))[0].astype(np.float64) + 1
+    for row, locs in enumerate((neg, pos, peaks, dips)):
+        events_to_track(locs, row)
+    return tracks
+
+
+def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
+        frame_period=DEFAULT_FRAME_PERIOD, channels_in_octave=2.0,
+        allowed_range=0.1):
+    """Fundamental frequency estimation.
+
+    Returns (f0, temporal_positions); f0 == 0 marks unvoiced frames,
+    matching the pyworld call contract (prepare_features_vc.py:46,
+    evaluation_vc.py:45).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean()
+    hop_t = frame_period / 1000.0
+    n_frames = int(len(x) / fs / hop_t) + 1
+    t = np.arange(n_frames) * hop_t
+
+    n_ch = int(np.ceil(np.log2(f0_ceil / f0_floor) * channels_in_octave)) + 1
+    boundary_f0s = f0_floor * 2.0 ** (np.arange(1, n_ch + 1)
+                                      / channels_in_octave)
+
+    best_f0 = np.zeros(n_frames)
+    best_score = np.full(n_frames, np.inf)
+    for bf0 in boundary_f0s:
+        filtered = _lowpass_fir(x, fs, bf0)
+        tracks = _interval_candidates(filtered, fs, t)
+        valid = (tracks > 0).all(axis=0)
+        mean_f0 = tracks.mean(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = tracks.std(axis=0) / np.maximum(mean_f0, 1e-9)
+        in_band = (mean_f0 > max(f0_floor, bf0 / 4)) & (mean_f0 < bf0) \
+            & (mean_f0 < f0_ceil)
+        cand = valid & in_band & (score < best_score)
+        best_f0[cand] = mean_f0[cand]
+        best_score[cand] = score[cand]
+
+    f0 = np.where(best_score < allowed_range, best_f0, 0.0)
+    # Periodicity gate: interval statistics alone accept narrow-band noise
+    # (filtered noise has regular zero crossings); require the raw signal's
+    # normalized autocorrelation at the candidate lag to confirm voicing.
+    _, peak_r = _ncc_refine(x, f0, t, fs)
+    f0[peak_r < 0.45] = 0.0
+    f0 = _remove_jumps(f0, allowed_range=0.18)
+    return f0, t
+
+
+def _remove_jumps(f0, allowed_range=0.18, min_run=3):
+    """Zero out short/discontinuous voiced runs (DIO FixStep analog)."""
+    f0 = f0.copy()
+    T = len(f0)
+    # break at relative jumps
+    for i in range(1, T):
+        if f0[i] > 0 and f0[i - 1] > 0:
+            if abs(f0[i] - f0[i - 1]) / f0[i - 1] > allowed_range:
+                f0[i - 1:i] = f0[i - 1:i]  # keep; run split handled below
+    # drop voiced runs shorter than min_run
+    i = 0
+    while i < T:
+        if f0[i] == 0:
+            i += 1
+            continue
+        j = i
+        while j < T and f0[j] > 0 and \
+                (j == i or abs(f0[j] - f0[j - 1]) / f0[j - 1] <= allowed_range):
+            j += 1
+        if j - i < min_run:
+            f0[i:j] = 0.0
+        i = j
+    return f0
+
+
+def _ncc_refine(x, f0, temporal_positions, fs):
+    """Per-frame F0 refinement by parabolic-interpolated normalized
+    autocorrelation around the current estimate.
+
+    Returns (refined_f0, peak_r) where peak_r is the NCC value at the best
+    lag (1 = perfectly periodic, used as a voicing confidence)."""
+    x = np.asarray(x, dtype=np.float64)
+    refined = f0.copy()
+    peak_r = np.zeros(len(f0))
+    for i, (f, tc) in enumerate(zip(f0, temporal_positions)):
+        if f <= 0:
+            continue
+        T0 = fs / f
+        half = int(2 * T0)
+        c = int(tc * fs)
+        lo, hi = max(0, c - half), min(len(x), c + half)
+        seg = x[lo:hi]
+        if len(seg) < int(1.5 * T0) + 2:
+            continue
+        seg = seg - seg.mean()
+        lags = np.arange(max(2, int(T0 * 0.8)), min(len(seg) - 2,
+                                                    int(T0 * 1.25)))
+        if len(lags) < 3:
+            continue
+        e0 = np.dot(seg, seg)
+        if e0 < 1e-12:
+            continue
+        r = np.array([
+            np.dot(seg[:-k], seg[k:])
+            / max(1e-12, np.sqrt(np.dot(seg[:-k], seg[:-k])
+                                 * np.dot(seg[k:], seg[k:])))
+            for k in lags])
+        k = int(np.argmax(r))
+        peak_r[i] = float(r[k])
+        if 0 < k < len(lags) - 1:
+            y0, y1, y2 = r[k - 1], r[k], r[k + 1]
+            denom = y0 - 2 * y1 + y2
+            delta = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
+        else:
+            delta = 0.0
+        best_lag = lags[k] + delta
+        cand = fs / best_lag
+        if 0.7 * f < cand < 1.4 * f:
+            refined[i] = cand
+    return refined, peak_r
+
+
+def stonemask(x, f0, temporal_positions, fs):
+    """Refine an F0 contour by parabolic-interpolated autocorrelation.
+
+    Call contract of pyworld.stonemask (prepare_features_vc.py:47)."""
+    refined, _ = _ncc_refine(x, f0, temporal_positions, fs)
+    return refined
+
+
+def harvest(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
+            frame_period=DEFAULT_FRAME_PERIOD):
+    """Denser-channel DIO + stonemask refinement.
+
+    Capability-equivalent stand-in for WORLD's harvest (the reference selects
+    it via use_harvest=True, prepare_features_tts.py:111-115); returns the
+    same (f0, t) contract.  Deviation documented in the module docstring.
+    """
+    f0, t = dio(x, fs, f0_floor, f0_ceil, frame_period,
+                channels_in_octave=4.0, allowed_range=0.12)
+    f0 = stonemask(x, f0, t, fs)
+    return f0, t
+
+
+# ---------------------------------------------------------------------------
+# Spectral envelope
+# ---------------------------------------------------------------------------
+
+def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
+               f0_floor=DEFAULT_F0_FLOOR, fft_size=None):
+    """Pitch-adaptive spectral envelope; (T, fft_size//2+1) power spectrum.
+
+    Contract of pyworld.cheaptrick (prepare_features_vc.py:48,
+    prepare_features_tts.py:120, evaluation_vc.py:47)."""
+    x = np.asarray(x, dtype=np.float64)
+    if fft_size is None:
+        fft_size = get_cheaptrick_fft_size(fs, f0_floor)
+    n_bins = fft_size // 2 + 1
+    T = len(f0)
+    sp = np.empty((T, n_bins))
+    default_f0 = 500.0
+
+    for i in range(T):
+        f = f0[i] if f0[i] > f0_floor / 2 else default_f0
+        T0 = fs / f
+        half = int(1.5 * T0)
+        c = int(round(temporal_positions[i] * fs))
+        idx = np.arange(c - half, c + half + 1)
+        seg = np.zeros(len(idx))
+        ok = (idx >= 0) & (idx < len(x))
+        seg[ok] = x[idx[ok]]
+        win = np.hanning(len(seg))
+        wseg = seg * win
+        wseg -= win * (wseg.sum() / max(win.sum(), 1e-12))  # DC removal
+        ps = np.abs(np.fft.rfft(wseg, fft_size)) ** 2
+        ps = _linear_smoothing(ps, 2.0 * f / 3.0, fs, fft_size)
+        ps = np.maximum(ps, 1e-12 * max(ps.max(), 1e-300))
+        # liftering: sinc recovery of the rect smoothing + q1 compensation
+        logps = np.log(ps)
+        cep = np.fft.irfft(logps)
+        quef = np.arange(1, n_bins) / fs * fft_size  # quefrency in samples
+        arg = np.pi * f * quef / fs
+        lifter = np.ones(n_bins)
+        lifter[1:] = np.sin(arg) / arg
+        comp = (1.0 - 2.0 * q1) + 2.0 * q1 * np.cos(2 * np.pi * quef * f / fs)
+        lif = np.ones(n_bins)
+        lif[1:] = lifter[1:] * comp
+        full = np.zeros(fft_size)
+        full[:n_bins] = lif
+        full[n_bins:] = lif[1:-1][::-1]
+        sp[i] = np.exp(np.fft.rfft(cep * full).real[:n_bins])
+    return sp
+
+
+def _linear_smoothing(ps, width_hz, fs, fft_size):
+    """Rectangular smoothing of a one-sided power spectrum (width in Hz)."""
+    n_bins = len(ps)
+    w_bins = width_hz * fft_size / fs
+    if w_bins <= 1:
+        return ps
+    # moving average via cumulative sum with fractional width
+    k = int(np.floor(w_bins / 2))
+    ext = np.r_[ps[k:0:-1], ps, ps[-2:-k - 2:-1]]  # mirror edges
+    c = np.cumsum(ext)
+    out = (c[2 * k:] - np.r_[0.0, c[:-2 * k - 1]]) / (2 * k + 1)
+    return out[:n_bins]
+
+
+# ---------------------------------------------------------------------------
+# Aperiodicity
+# ---------------------------------------------------------------------------
+
+def d4c(x, f0, temporal_positions, fs, threshold=0.85, fft_size=None):
+    """Band aperiodicity -> full (T, fft_size//2+1) aperiodicity envelope.
+
+    Periodicity per band measured as the normalized autocorrelation of the
+    band-passed local segment at lag T0; aperiodicity = sqrt(1 - r).
+    Unvoiced frames get aperiodicity 1 - 1e-12 (pyworld convention)."""
+    x = np.asarray(x, dtype=np.float64)
+    if fft_size is None:
+        fft_size = get_cheaptrick_fft_size(fs)
+    n_bins = fft_size // 2 + 1
+    T = len(f0)
+    band_edges = _d4c_band_edges(fs)
+    n_bands = len(band_edges) - 1
+    ap = np.ones((T, n_bins)) * (1.0 - 1e-12)
+    freq_axis = np.arange(n_bins) * fs / fft_size
+
+    # band-pass the whole signal once per band
+    import scipy.signal
+
+    band_sigs = []
+    for b in range(n_bands):
+        lo, hi = band_edges[b], band_edges[b + 1]
+        sos = scipy.signal.butter(
+            4, [max(lo, 1.0), min(hi, fs / 2 - 1.0)], btype="band",
+            fs=fs, output="sos")
+        band_sigs.append(scipy.signal.sosfiltfilt(sos, x))
+
+    band_ap = np.ones((T, n_bands)) * (1.0 - 1e-12)
+    for i in range(T):
+        f = f0[i]
+        if f <= 0:
+            continue
+        T0 = fs / f
+        half = int(2.5 * T0)
+        c = int(round(temporal_positions[i] * fs))
+        lo_i, hi_i = max(0, c - half), min(len(x), c + half)
+        if hi_i - lo_i < int(2 * T0) + 2:
+            continue
+        lag = int(round(T0))
+        for b in range(n_bands):
+            seg = band_sigs[b][lo_i:hi_i]
+            seg = seg - seg.mean()
+            e = np.dot(seg, seg)
+            if e < 1e-12:
+                continue
+            if lag >= len(seg) - 1:
+                continue
+            r = np.dot(seg[:-lag], seg[lag:]) / e
+            r = np.clip(r / max(1e-9, 1.0 - lag / len(seg)), 0.0, 1.0 - 1e-12)
+            band_ap[i, b] = np.sqrt(max(1.0 - r, 1e-12))
+        # expand bands to the full frequency axis (log-linear interpolation)
+        centers = (np.asarray(band_edges[:-1]) + np.asarray(band_edges[1:])) / 2
+        ap_db = 20 * np.log10(band_ap[i])
+        full_db = np.interp(freq_axis, centers, ap_db,
+                            left=ap_db[0], right=ap_db[-1])
+        ap[i] = np.clip(10 ** (full_db / 20), 1e-12, 1.0 - 1e-12)
+    return ap
+
+
+def _d4c_band_edges(fs):
+    """3 kHz-spaced coarse bands up to fs/2 (>= 1 band)."""
+    edges = [0.0]
+    f = 3000.0
+    while f < fs / 2 - 1500.0:
+        edges.append(f)
+        f += 3000.0
+    edges.append(fs / 2)
+    return edges
+
+
+def num_coded_aperiodicities(fs):
+    """pyworld convention: one coded band per 3 kHz above 3 kHz... for
+    fs=16000 this is 1 (matches the reference bap stream size 3 = 1 static x
+    3 windows, hparams.py:196)."""
+    return max(1, int(min(15000.0, fs / 2.0 - 3000.0) / 3000.0))
+
+
+def code_aperiodicity(aperiodicity, fs):
+    """(T, n_bins) -> (T, num_coded) coarse aperiodicity in dB
+    (prepare_features_tts.py:123 contract)."""
+    n_coded = num_coded_aperiodicities(fs)
+    n_bins = aperiodicity.shape[1]
+    fft_size = (n_bins - 1) * 2
+    coded = np.empty((aperiodicity.shape[0], n_coded))
+    for k in range(n_coded):
+        f = 3000.0 * (k + 1)
+        bin_idx = int(round(f * fft_size / fs))
+        bin_idx = min(bin_idx, n_bins - 1)
+        coded[:, k] = 20 * np.log10(
+            np.clip(aperiodicity[:, bin_idx], 1e-12, 1.0))
+    return coded
+
+
+def decode_aperiodicity(coded_aperiodicity, fs, fft_size):
+    """(T, num_coded) dB -> (T, fft_size//2+1) ratio, linear interpolation in
+    dB with 'almost periodic' 0 Hz anchor and Nyquist continuation
+    (evaluation_tts.py:116 contract)."""
+    coded = np.asarray(coded_aperiodicity, dtype=np.float64)
+    T, n_coded = coded.shape
+    n_bins = fft_size // 2 + 1
+    freq_axis = np.arange(n_bins) * fs / fft_size
+    anchors_f = np.r_[0.0, 3000.0 * (np.arange(n_coded) + 1), fs / 2.0]
+    out = np.empty((T, n_bins))
+    for i in range(T):
+        anchors_db = np.r_[-60.0, coded[i], coded[i, -1]]
+        db = np.interp(freq_axis, anchors_f, anchors_db)
+        out[i] = np.clip(10 ** (db / 20.0), 1e-12, 1.0 - 1e-12)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Synthesis
+# ---------------------------------------------------------------------------
+
+def _min_phase_ir(power_spec, fft_size):
+    """Minimum-phase impulse response from a one-sided power spectrum."""
+    logmag = 0.5 * np.log(np.maximum(power_spec, 1e-300))
+    c = np.fft.irfft(logmag, fft_size)
+    n = fft_size // 2
+    c_min = c.copy()
+    c_min[1:n] *= 2.0
+    c_min[n + 1:] = 0.0
+    return np.fft.irfft(np.exp(np.fft.rfft(c_min)), fft_size)
+
+
+def synthesize(f0, spectrogram, aperiodicity, fs,
+               frame_period=DEFAULT_FRAME_PERIOD):
+    """WORLD-style synthesis: pulse-synchronous periodic component plus
+    frame-OLA noise component.
+
+    Contract of pyworld.synthesize (evaluation_vc.py:107,
+    evaluation_tts.py:121): returns a float64 waveform of
+    ~T*frame_period*fs/1000 samples."""
+    f0 = np.asarray(f0, dtype=np.float64).reshape(-1)
+    sp = np.asarray(spectrogram, dtype=np.float64)
+    ap = np.asarray(aperiodicity, dtype=np.float64)
+    T, n_bins = sp.shape
+    fft_size = (n_bins - 1) * 2
+    hop = fs * frame_period / 1000.0
+    N = int(T * hop)
+    out = np.zeros(N + 2 * fft_size)
+
+    rs = np.random.RandomState(12345)
+
+    # --- noise (aperiodic) component: frame-synchronous OLA ----------------
+    win_len = int(2 * hop)
+    win = np.hanning(win_len)
+    for i in range(T):
+        center = int(i * hop)
+        noise = rs.randn(win_len)
+        noise_spec = sp[i] * ap[i] ** 2
+        ir = _min_phase_ir(noise_spec, fft_size)
+        shaped = np.convolve(noise * win, ir[: min(fft_size, 512)])
+        s = center
+        e = min(len(out), s + len(shaped))
+        out[s:e] += shaped[: e - s] / np.sqrt(win_len)
+
+    # --- periodic component: pulse-synchronous --------------------------
+    phase = 0.0
+    n = 0
+    while n < N:
+        frame = min(int(n / hop), T - 1)
+        f = f0[frame]
+        if f <= 0:
+            phase = 0.0
+            n += max(1, int(hop // 2))
+            continue
+        phase += f / fs
+        if phase >= 1.0:
+            phase -= 1.0
+            # pulse here: periodic response from this frame's envelope
+            per_spec = sp[frame] * (1.0 - ap[frame] ** 2)
+            ir = _min_phase_ir(per_spec, fft_size)
+            gain = np.sqrt(fs / f)  # energy normalization per period
+            e = min(len(out), n + fft_size)
+            out[n:e] += gain * ir[: e - n]
+        n += 1
+
+    return out[:N]

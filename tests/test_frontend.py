@@ -1,0 +1,254 @@
+"""Vocoder front-end tests: mel-cepstrum transforms, MLSA filter (vs its
+frequency-domain ground truth and vs the C++ port), WORLD-equivalent
+analysis/synthesis on synthetic signals with known F0, DTW/banded-solver
+native kernels vs their NumPy/SciPy oracles."""
+
+import numpy as np
+import pytest
+
+from gantts_tpu.frontend import native, sptk, world
+
+
+def synth_harmonic(fs=16000, f0=120.0, dur=0.6, formants=((700, 80), (1200, 120))):
+    """Synthetic vowel-like signal: pulse train through resonators."""
+    import scipy.signal
+
+    n = int(fs * dur)
+    x = np.zeros(n)
+    period = fs / f0
+    pos = 0.0
+    while pos < n:
+        x[int(pos)] = 1.0
+        pos += period
+    for fc, bw in formants:
+        r = np.exp(-np.pi * bw / fs)
+        theta = 2 * np.pi * fc / fs
+        b, a = [1.0], [1.0, -2 * r * np.cos(theta), r * r]
+        x = scipy.signal.lfilter(b, a, x)
+    return x / np.abs(x).max()
+
+
+# ---------------- mel-cepstrum transforms ----------------
+
+def test_mcepalpha_known_values():
+    assert abs(sptk.mcepalpha(16000) - 0.42) < 0.01
+    assert abs(sptk.mcepalpha(44100) - 0.544) < 0.015
+    assert abs(sptk.mcepalpha(8000) - 0.31) < 0.015
+
+
+def test_sp2mc_mc2sp_roundtrip():
+    """mc2sp(sp2mc(sp)) must reproduce a smooth spectrum closely."""
+    fs, fftlen = 16000, 1024
+    n = fftlen // 2 + 1
+    f = np.linspace(0, fs / 2, n)
+    logsp = -2.0 - 1.5e-3 * f / 100 + 0.8 * np.exp(-((f - 800) / 300) ** 2)
+    sp = np.exp(2 * logsp)[None, :]
+    alpha = 0.42
+    mc = sptk.sp2mc(sp, order=59, alpha=alpha)
+    sp_rec = sptk.mc2sp(mc, alpha=alpha, fftlen=fftlen)
+    err = np.abs(np.log(sp_rec) - np.log(sp)).max()
+    assert err < 0.1, f"log-spectral roundtrip error {err}"
+
+
+def test_mc2b_b2mc_roundtrip():
+    rng = np.random.RandomState(0)
+    mc = rng.randn(7, 25)
+    b = sptk.mc2b(mc, 0.42)
+    assert np.allclose(sptk.b2mc(b, 0.42), mc, atol=1e-12)
+
+
+def test_freqt_inverse():
+    rng = np.random.RandomState(1)
+    c = rng.randn(3, 30) * np.exp(-0.2 * np.arange(30))
+    warped = sptk.freqt(c, 120, 0.42)
+    back = sptk.freqt(warped, 29, -0.42)
+    assert np.abs(back - c).max() < 1e-10
+
+
+# ---------------- MLSA filter ----------------
+
+def _mlsa_ground_truth_ir(b, alpha, fftlen=4096, n_ir=512):
+    """Impulse response of exp(sum b_m Phi_m) via frequency sampling."""
+    w = 2 * np.pi * np.arange(fftlen // 2 + 1) / fftlen
+    z1 = np.exp(-1j * w)
+    A = (z1 - alpha) / (1 - alpha * z1)
+    phi = np.zeros((len(b), len(w)), dtype=complex)
+    phi[0] = 1.0
+    if len(b) > 1:
+        phi[1] = (1 - alpha ** 2) * z1 / (1 - alpha * z1)
+        for m in range(2, len(b)):
+            phi[m] = phi[m - 1] * A
+    F = (b[:, None] * phi).sum(axis=0)  # includes the b0 gain term
+    H = np.exp(F)
+    return np.fft.irfft(H, fftlen)[:n_ir]
+
+
+def test_mlsa_filter_matches_transfer_function():
+    """Pure-Python MLSA impulse response ~= exp(F) frequency-domain IR."""
+    rng = np.random.RandomState(0)
+    order, alpha = 20, 0.42
+    mc = rng.randn(order + 1) * np.exp(-0.5 * np.arange(order + 1))
+    mc[0] = 0.0  # gain handled separately
+    b = sptk.mc2b(mc, alpha)
+    n = 256
+    x = np.zeros(n)
+    x[0] = 1.0
+    y = sptk._mlsa_synthesis_py(x, b[None, :], alpha, hopsize=n)
+    ir = _mlsa_ground_truth_ir(b, alpha, n_ir=n)
+    err = np.abs(y - ir).max() / np.abs(ir).max()
+    assert err < 0.02, f"MLSA IR relative error {err}"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_mlsa_native_matches_python():
+    rng = np.random.RandomState(1)
+    order, alpha, hop = 12, 0.42, 40
+    T = 5
+    mc = rng.randn(T, order + 1) * 0.3
+    b = sptk.mc2b(mc, alpha)
+    x = rng.randn(T * hop)
+    y_py = sptk._mlsa_synthesis_py(x, b, alpha, hop)
+    y_cc = native.mlsa_synthesis(x, b, alpha, hop)
+    assert np.abs(y_py - y_cc).max() < 1e-10
+
+
+def test_mlsa_synthesis_stable_diffvc_regime():
+    """MLSA must stay stable on DIFFVC-scale coefficients.
+
+    The reference's only MLSA use is DIFFVC (evaluation_vc.py:93-102): the
+    filter runs on the *difference* of two similar mel-cepstra with the power
+    coefficient zeroed — small coefficients, well inside the Pade stability
+    region.  (Extreme full-spectrum coefficients exceed Pade(5) validity for
+    ANY MLSA implementation, SPTK included.)"""
+    fs = 16000
+    x = synth_harmonic(fs=fs, dur=0.3)
+    f0, t = world.dio(x, fs)
+    sp = world.cheaptrick(x, f0, t, fs)
+    alpha = 0.42
+    mc = sptk.sp2mc(sp, 24, alpha)
+    mc_shift = np.roll(mc, 1, axis=0) * 1.05  # a "converted" nearby track
+    diff = mc_shift - mc
+    diff[:, 0] = 0.0  # remove power coefficient (evaluation_vc.py:96)
+    b = sptk.mc2b(diff, alpha)
+    y = sptk.mlsa_synthesis(x[: len(t) * 80], b, alpha, hopsize=80)
+    assert np.isfinite(y).all()
+    assert np.abs(y).max() < 50 * np.abs(x).max()
+
+
+# ---------------- WORLD-equivalent analysis ----------------
+
+def test_dio_stonemask_known_f0():
+    fs, true_f0 = 16000, 120.0
+    x = synth_harmonic(fs=fs, f0=true_f0)
+    f0, t = world.dio(x, fs)
+    voiced = f0 > 0
+    assert voiced.mean() > 0.5, "most frames should be voiced"
+    med = np.median(f0[voiced])
+    assert abs(med - true_f0) / true_f0 < 0.05, f"dio median {med}"
+    refined = world.stonemask(x, f0, t, fs)
+    med_r = np.median(refined[refined > 0])
+    assert abs(med_r - true_f0) / true_f0 < 0.02, f"stonemask median {med_r}"
+    # refinement should not be worse on average
+    err0 = np.abs(f0[voiced] - true_f0).mean()
+    err1 = np.abs(refined[voiced] - true_f0).mean()
+    assert err1 <= err0 * 1.1
+
+
+def test_dio_silence_is_unvoiced():
+    fs = 16000
+    x = np.random.RandomState(0).randn(8000) * 1e-6
+    f0, t = world.dio(x, fs)
+    assert (f0 == 0).mean() > 0.9
+
+
+def test_harvest_contract():
+    fs = 16000
+    x = synth_harmonic(fs=fs, f0=150.0)
+    f0, t = world.harvest(x, fs)
+    assert f0.shape == t.shape
+    v = f0 > 0
+    assert v.mean() > 0.5
+    assert abs(np.median(f0[v]) - 150.0) < 8.0
+
+
+def test_cheaptrick_formant_peak():
+    fs = 16000
+    x = synth_harmonic(fs=fs, f0=120.0, formants=((700, 80),))
+    f0, t = world.dio(x, fs)
+    f0 = world.stonemask(x, f0, t, fs)
+    sp = world.cheaptrick(x, f0, t, fs)
+    fft_size = (sp.shape[1] - 1) * 2
+    assert fft_size == world.get_cheaptrick_fft_size(fs)
+    freqs = np.arange(sp.shape[1]) * fs / fft_size
+    mid = sp[len(sp) // 2]
+    peak = freqs[np.argmax(mid)]
+    assert 450 < peak < 1000, f"envelope peak at {peak} Hz, expected ~700"
+    assert (sp > 0).all() and np.isfinite(sp).all()
+
+
+def test_aperiodicity_code_decode():
+    fs = 16000
+    x = synth_harmonic(fs=fs)
+    f0, t = world.dio(x, fs)
+    ap = world.d4c(x, f0, t, fs)
+    assert ((ap > 0) & (ap <= 1)).all()
+    # voiced frames of a pulse train should be mostly periodic at low freq
+    voiced = f0 > 0
+    assert ap[voiced, : ap.shape[1] // 4].mean() < 0.7
+    coded = world.code_aperiodicity(ap, fs)
+    assert coded.shape == (len(f0), world.num_coded_aperiodicities(fs))
+    assert world.num_coded_aperiodicities(16000) == 1  # bap static dim parity
+    fft_size = (ap.shape[1] - 1) * 2
+    dec = world.decode_aperiodicity(coded, fs, fft_size)
+    assert dec.shape == ap.shape
+    assert ((dec > 0) & (dec <= 1)).all()
+
+
+def test_analysis_synthesis_roundtrip():
+    """synthesize(analyze(x)) must preserve F0 and produce sane audio."""
+    fs, true_f0 = 16000, 130.0
+    x = synth_harmonic(fs=fs, f0=true_f0, dur=0.5)
+    f0, t = world.dio(x, fs)
+    f0 = world.stonemask(x, f0, t, fs)
+    sp = world.cheaptrick(x, f0, t, fs)
+    ap = world.d4c(x, f0, t, fs)
+    y = world.synthesize(f0, sp, ap, fs)
+    assert np.isfinite(y).all()
+    assert len(y) == int(len(f0) * fs * 0.005)
+    assert np.abs(y).max() > 1e-6, "synthesis produced silence"
+    # re-analyze: F0 must survive the roundtrip
+    f0_2, t2 = world.dio(y / max(np.abs(y).max(), 1e-9), fs)
+    v = f0_2 > 0
+    assert v.mean() > 0.4
+    med = np.median(f0_2[v])
+    assert abs(med - true_f0) / true_f0 < 0.06, f"roundtrip f0 {med}"
+
+
+# ---------------- native kernels vs oracles ----------------
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_dtw_matches_python():
+    from gantts_tpu.preprocessing.alignment import dtw_path
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(60, 5)
+    y = np.vstack([x[:30], x[25:]])[:65] + 0.01 * rng.randn(65, 5)
+    px_py, py_py = dtw_path(x, y)
+    px_cc, py_cc = native.dtw_path(x, y)
+    assert np.array_equal(px_py, px_cc)
+    assert np.array_equal(py_py, py_cc)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_banded_solve_matches_scipy():
+    import scipy.linalg
+
+    from gantts_tpu.core.windows import DEFAULT_WINDOWS, _banded_precision
+
+    T = 50
+    ab = _banded_precision(DEFAULT_WINDOWS, T)
+    rng = np.random.RandomState(0)
+    rhs = rng.randn(T, 4)
+    ref = scipy.linalg.solveh_banded(ab, rhs, lower=False)
+    out = native.banded_cholesky_solve(ab, rhs, bandwidth=ab.shape[0] - 1)
+    assert np.abs(out - ref).max() < 1e-8
