@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Evaluation script for GAN-based text-to-speech synthesis (TPU-native).
+
+Flag surface of reference evaluation_tts.py:1-12:
+
+usage: evaluation_tts.py [options] <acoustic_checkpoint> <duration_checkpoint>
+                         <data_dir> <labels_dir> <outputs_dir>
+
+options:
+    --fs=<fs>                 Sampling frequency [default: 16000].
+    --disable-duraton-gen     Disable duration generation (use label timings).
+    --post-filter             Apply Merlin's post filter to spectral features.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from os.path import basename, join, splitext
+
+import numpy as np
+from scipy.io import wavfile
+
+
+def get_lab_files(data_dir, label_dir, test=False):
+    from gantts_tpu.data import NPYDataSource
+
+    src = NPYDataSource(join(data_dir, "X_acoustic"),
+                        train=False, test=test)
+    files = src.collect_files()
+    return [join(label_dir, splitext(basename(f))[0] + ".lab")
+            for f in files]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("acoustic_checkpoint")
+    p.add_argument("duration_checkpoint")
+    p.add_argument("data_dir")
+    p.add_argument("labels_dir")
+    p.add_argument("outputs_dir")
+    p.add_argument("--fs", type=int, default=16000)
+    p.add_argument("--disable-duraton-gen", dest="disable_duration_gen",
+                   action="store_true")
+    p.add_argument("--post-filter", dest="post_filter", action="store_true")
+    p.add_argument("--hparams_acoustic", default="")
+    p.add_argument("--hparams_duration", default="")
+    args = p.parse_args(argv)
+
+    from gantts_tpu import hparams
+    from gantts_tpu.io import hts
+    from gantts_tpu.models import create_model
+    from gantts_tpu.synthesis import tts_from_label
+    from gantts_tpu.train.checkpoint import load_checkpoint
+
+    hp_acoustic = hparams.tts_acoustic
+    hp_duration = hparams.tts_duration
+    hp_acoustic.parse(args.hparams_acoustic)
+    hp_duration.parse(args.hparams_duration)
+
+    binary_dict, continuous_dict = hts.load_question_set(
+        hp_acoustic.question_path)
+
+    X_min, X_max, Y_mean, Y_std = {}, {}, {}, {}
+    models, variables = {}, {}
+    for typ in ["acoustic", "duration"]:
+        X_min[typ] = np.load(join(args.data_dir, f"X_{typ}_data_min.npy"))
+        X_max[typ] = np.load(join(args.data_dir, f"X_{typ}_data_max.npy"))
+        Y_mean[typ] = np.load(join(args.data_dir, f"Y_{typ}_data_mean.npy"))
+        Y_var = np.load(join(args.data_dir, f"Y_{typ}_data_var.npy"))
+        Y_std[typ] = np.sqrt(Y_var)
+
+        hp = hp_acoustic if typ == "acoustic" else hp_duration
+        if hp.generator_params["in_dim"] is None:
+            D = X_min[typ].shape[-1]
+            if hp.generator_add_noise:
+                D = D + hp.generator_noise_dim
+            hp.generator_params["in_dim"] = D
+        if hp.generator_params["out_dim"] is None:
+            hp.generator_params["out_dim"] = Y_mean[typ].shape[-1]
+
+        models[typ] = create_model(hp.generator, **hp.generator_params)
+        ckpt = (args.acoustic_checkpoint if typ == "acoustic"
+                else args.duration_checkpoint)
+        variables[typ], _, _ = load_checkpoint(ckpt)
+
+    eval_dir = join(args.outputs_dir, "eval")
+    test_dir = join(args.outputs_dir, "test")
+    os.makedirs(eval_dir, exist_ok=True)
+    os.makedirs(test_dir, exist_ok=True)
+    eval_files = get_lab_files(args.data_dir, args.labels_dir, test=False)
+    test_files = get_lab_files(args.data_dir, args.labels_dir, test=True)
+
+    for dst_dir, files in [(eval_dir, eval_files), (test_dir, test_files)]:
+        for label_path in files:
+            print(dst_dir, label_path)
+            name = splitext(basename(label_path))[0]
+            waveform, mgc, lf0, vuv, bap = tts_from_label(
+                models, variables, label_path, X_min, X_max, Y_mean, Y_std,
+                hp_duration, hp_acoustic, binary_dict, continuous_dict,
+                apply_duration_model=not args.disable_duration_gen,
+                post_filter=args.post_filter, fs=args.fs)
+            wavfile.write(join(dst_dir, name + ".wav"), args.fs,
+                          waveform.astype(np.int16))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
