@@ -95,6 +95,6 @@ class DataParallelGanTrainer(GanTrainer):
                 partial(self._step, train),
                 in_shardings=in_shardings,
                 out_shardings=repl,
-                donate_argnums=(0, 1),
+                donate_argnums=(0, 1) if train else (),
             )
         return self._jitted[key]

@@ -214,10 +214,12 @@ class GanTrainer:
         """Return the jitted step for the given phase (compiled per shape)."""
         key = bool(train)
         if key not in self._jitted:
+            # Donate state buffers only when they are actually replaced —
+            # donating in the eval phase invalidates the caller's arrays
+            # while returning them unchanged.
             self._jitted[key] = jax.jit(
                 partial(self._step, train),
-                donate_argnums=(0, 1),
-                static_argnames=())
+                donate_argnums=(0, 1) if train else ())
         return self._jitted[key]
 
     def _step(self, train, gstate, dstate, ref_params, x, y, lengths, R, z,

@@ -67,16 +67,16 @@ def main(argv=None):
     args = build_arg_parser().parse_args(argv)
     print("Command line args:\n", vars(args))
 
-    # Persistent XLA compilation cache: curriculum stages re-run this script
-    # many times with identical shapes (train_gan.sh semantics) — without
-    # this, every stage repays ~30 s x (buckets x phases) of compiles.
-    import jax
+    # Optional persistent XLA compilation cache (off by default: on the
+    # axon/TPU-tunnel backend, enabling it makes compiles ~20x SLOWER —
+    # measured 116 s vs 6 s for the same program — so only opt in where the
+    # backend serializes executables cheaply, e.g. CPU or direct TPU).
+    if os.environ.get("GANTTS_TPU_COMPILE_CACHE"):
+        import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("GANTTS_TPU_COMPILE_CACHE",
-                       os.path.expanduser("~/.cache/gantts_tpu_xla")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["GANTTS_TPU_COMPILE_CACHE"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from gantts_tpu import hparams
     from gantts_tpu.hparams import hparams_debug_string
