@@ -1,0 +1,135 @@
+"""Stencil (banded) MLPG: O(T*W) instead of the dense O(T^2) R matmul.
+
+The unit-variance MLPG matrix R = P^{-1} W*^T (core/windows.py) is the
+inverse of a banded SPD matrix times a banded matrix.  P^{-1}'s entries decay
+geometrically away from the diagonal (for the standard 3-window set the decay
+ratio is ~0.268 per frame), so every *interior* row of R converges to a fixed
+Toeplitz stencil: R[t, k*T + t + j] -> s_k[j], independent of t and T.
+
+This module exploits that:
+
+  * interior frames: y[t] = sum_k sum_{|j|<=W} s_k[j] u_k[t+j] — ONE
+    depthwise 1-D convolution on the MXU, with weights independent of the
+    sequence length (so bucketed batches stop paying a per-length R build
+    and the op costs O(T*W*S) instead of O(T^2*S));
+  * the first/last W frames: exact boundary rows taken from a reference R
+    computed once for a fixed T0 = 8W (rows of R for any T >= T0 agree with
+    these to ~1e-12 because of the same geometric decay).
+
+With W = 24 the result matches dense MLPG to ~1e-6 in float32 — below the
+matmul's own rounding noise.  ``unit_variance_mlpg_stencil`` is a drop-in
+replacement for ``unit_variance_mlpg`` on long-enough sequences
+(T >= 4W + 2); the dense path remains for short ones.
+
+Measured on v5e: the grouped-conv formulation is NOT yet faster than the
+dense matmul at speech-typical lengths (5.4 ms vs 1.0 ms at T=512, B=20,
+S=60 — depthwise group convs map poorly onto the MXU), so ``mlpg_impl``
+defaults to "dense"; the stencil path is the long-sequence/recompile-free
+option and the starting point for a Pallas fusion in a later round.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+
+DEFAULT_HALFWIDTH = 24
+
+
+def _windows_key(windows):
+    return tuple((int(l), int(u), tuple(np.asarray(c, dtype=np.float64)))
+                 for l, u, c in windows)
+
+
+@lru_cache(maxsize=16)
+def _stencil_parts(windows_key, halfwidth):
+    windows = [(l, u, np.array(c)) for l, u, c in windows_key]
+    W = halfwidth
+    T0 = 8 * W
+    K = len(windows)
+    R0 = unit_variance_mlpg_matrix(windows, T0, dtype=np.float64)
+    mid = T0 // 2
+    # stencil: (K, 2W+1), s_k[j] = R[mid, k*T0 + mid + (j - W)]
+    stencil = np.stack([
+        R0[mid, k * T0 + mid - W: k * T0 + mid + W + 1] for k in range(K)])
+    C = 2 * W  # boundary rows only reach C columns into each window block
+    top = np.stack([R0[:W, k * T0: k * T0 + C] for k in range(K)])      # (K, W, C)
+    bot = np.stack([R0[T0 - W:, k * T0 + T0 - C: k * T0 + T0]
+                    for k in range(K)])                                  # (K, W, C)
+    # NumPy, not jnp: jnp constants created while tracing would leak that
+    # trace's tracers through the lru_cache into later jit calls.
+    return (stencil.astype(np.float32), top.astype(np.float32),
+            bot.astype(np.float32))
+
+
+def unit_variance_mlpg_stencil(means, windows, halfwidth=DEFAULT_HALFWIDTH,
+                               precision=None):
+    """Stencil MLPG on (B, T, K*S) (or (T, K*S)) features.
+
+    Requires T >= 4*halfwidth + 2 (callers fall back to the dense path
+    below that).  Numerically interchangeable with
+    ``unit_variance_mlpg(unit_variance_mlpg_matrix(windows, T), means)``.
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    squeeze = means.ndim == 2
+    if squeeze:
+        means = means[None]
+    B, T, KS = means.shape
+    K = len(windows)
+    S = KS // K
+    W = halfwidth
+    if T < 4 * W + 2:
+        raise ValueError(f"T={T} too short for stencil MLPG (need >= {4*W+2})")
+    stencil, top, bot = _stencil_parts(_windows_key(windows), W)
+    stencil = jnp.asarray(stencil)
+    top = jnp.asarray(top)
+    bot = jnp.asarray(bot)
+    C = 2 * W
+
+    u = means.reshape(B, T, K, S)
+
+    # ---- interior: depthwise conv over time, summed over windows ----------
+    # lhs (B*S*K, 1, T) grouped so each (s, k) channel convolves with s_k.
+    lhs = u.transpose(0, 3, 2, 1).reshape(B, S * K, T)
+    # rhs: output channel (s) sums its K input channels with kernel s_k.
+    # conv kernel layout (out_channels=S, in_per_group=K, width)
+    rhs = jnp.broadcast_to(stencil[None, :, :], (S, K, 2 * W + 1))
+    # XLA's conv_general_dilated computes cross-correlation (no kernel
+    # flip), which is exactly sum_j s_k[j] u[t+j] with w = j + W.
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(W, W)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=S, precision=precision)
+    y = y.transpose(0, 2, 1)  # (B, T, S)
+
+    # ---- exact boundaries --------------------------------------------------
+    # y_top = sum_k u_k[:, :C] @ top_k^T : (B, C, S) x (W, C) -> (B, W, S)
+    y_top = jnp.einsum("bcks,kwc->bws", u[:, :C], top, precision=precision)
+    y_bot = jnp.einsum("bcks,kwc->bws", u[:, T - C:], bot,
+                       precision=precision)
+    y = y.at[:, :W].set(y_top).at[:, T - W:].set(y_bot)
+    return y[0] if squeeze else y
+
+
+def multi_stream_mlpg_stencil(inputs, windows, stream_sizes,
+                              has_dynamic_features,
+                              streams=None, halfwidth=DEFAULT_HALFWIDTH):
+    """Stencil variant of ``core.paramgen.multi_stream_mlpg`` (no R input)."""
+    if streams is None:
+        streams = (True,) * len(stream_sizes)
+    start_indices = np.hstack(([0], np.cumsum(stream_sizes)[:-1])).astype(int)
+    ret = []
+    for start_idx, size, v, enabled in zip(
+            start_indices, stream_sizes, has_dynamic_features, streams):
+        if not enabled:
+            continue
+        x = inputs[..., start_idx:start_idx + size]
+        y = unit_variance_mlpg_stencil(x, windows, halfwidth) if v else x
+        ret.append(y)
+    return jnp.concatenate(ret, axis=-1)

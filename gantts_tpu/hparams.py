@@ -190,6 +190,7 @@ vc = HParams(
     # --- TPU-build additions ---
     batch_bucket_multiple=32,   # pad T up to a multiple of this (static shapes)
     compute_dtype="float32",
+    mlpg_impl="dense",          # "dense" | "stencil" (O(T*W) conv MLPG)
 )
 
 
@@ -273,6 +274,7 @@ tts_duration = HParams(
     # --- TPU-build additions ---
     batch_bucket_multiple=32,
     compute_dtype="float32",
+    mlpg_impl="dense",          # "dense" | "stencil" (O(T*W) conv MLPG)
 )
 
 # Hyper parameters for TTS acoustic model (reference hparams.py:167-258)
@@ -368,4 +370,5 @@ tts_acoustic = HParams(
     # --- TPU-build additions ---
     batch_bucket_multiple=32,
     compute_dtype="float32",
+    mlpg_impl="dense",          # "dense" | "stencil" (O(T*W) conv MLPG)
 )

@@ -52,6 +52,16 @@ def linear_recurrence(f, b):
     return c
 
 
+def dispatch_linear_recurrence(f, b):
+    """Pallas grid-scan on TPU (minimal HBM traffic, see kernels/sru_scan.py),
+    associative scan elsewhere."""
+    from gantts_tpu import kernels
+
+    if kernels.default_use_pallas():
+        return kernels.linear_recurrence_pallas(f, b)
+    return linear_recurrence(f, b)
+
+
 class SRULayer(nn.Module):
     """One direction of one SRU layer."""
 
@@ -79,7 +89,7 @@ class SRULayer(nn.Module):
         # Masked linear recurrence: padded steps carry the state through.
         f_m = f * mask + (1.0 - mask)          # f -> 1 on padding
         b_m = (1.0 - f) * x_tilde * mask       # input contribution -> 0
-        c = linear_recurrence(f_m, b_m)
+        c = dispatch_linear_recurrence(f_m, b_m)
 
         g = jax.nn.relu if self.use_relu else jnp.tanh
         h = r * g(c) + (1.0 - r) * x_prime

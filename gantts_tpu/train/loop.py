@@ -46,8 +46,16 @@ class RMatrixCache:
 def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                w_d=0.0, mse_w=0.0, mge_w=1.0, update_d=True, update_g=True,
                checkpoint_dir=None, writer=None, global_epoch=0,
-               seed=1234):
-    """Returns (gstate, dstate, final_epoch)."""
+               seed=1234, profile_dir=None):
+    """Returns (gstate, dstate, final_epoch).
+
+    Observability (SURVEY.md section 5): per-epoch wall time and
+    frames/sec/chip are logged alongside the reference's scalar series; when
+    ``profile_dir`` is set, a ``jax.profiler`` trace of the second training
+    epoch is captured there (the first epoch is compile-dominated).
+    """
+    import time as _time
+
     cfg = trainer.cfg
     r_cache = RMatrixCache(hp.windows) if cfg.has_dynamic else None
     noise_rs = np.random.RandomState(seed)
@@ -67,11 +75,17 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
             set_learning_rate(dstate.opt_state, exp_decayed_lr(
                 hp.optimizer_d_params["lr"], epoch - 1, hp.lr_decay_epoch))
 
+        profiling = (profile_dir is not None
+                     and epoch == global_epoch + 2)
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
+
         for phase in ["train", "test"]:
             train = phase == "train"
             step = trainer.step_fn(train)
             N = len(dataset_loaders[phase])
             acc = []  # device-scalar dicts, reduced once per phase
+            phase_t0 = _time.perf_counter()
 
             adv_w = (w_d * float(np.clip(E_loss_mge / E_loss_adv, 0, 1e3))
                      if update_g else 0.0)
@@ -94,11 +108,16 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
 
             # One host sync per phase
             acc = jax.device_get(acc)
+            phase_dt = _time.perf_counter() - phase_t0
             sums = {}
             for out in acc:
                 for k, v in out.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
             total_num_frames = sums.pop("num_frames", 1.0)
+
+            # Throughput observability (north-star metric, SURVEY section 5)
+            log(f"{phase} frames_per_sec", total_num_frames / phase_dt, epoch)
+            log(f"{phase} epoch_seconds", phase_dt, epoch)
 
             # Update expectations (reference train.py:601-607).  NOTE: as in
             # the reference, E_loss_mge includes the MSE term when mse_w != 0.
@@ -140,6 +159,9 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                 log(f"{phase} spoofing rate",
                     sums.get("regard_fake_as_natural", 0.0) / total_num_frames,
                     epoch)
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         if writer is not None:
             writer.flush()

@@ -77,6 +77,7 @@ class StepConfig:
     use_adv: bool = True           # w_d > 0
     has_ref: bool = False
     add_noise: bool = False
+    mlpg_impl: str = "dense"       # "dense" (R matmul) | "stencil" (O(T*W))
 
     @classmethod
     def from_hparams(cls, hp, w_d, mse_w, mge_w, update_d, update_g,
@@ -97,6 +98,7 @@ class StepConfig:
             use_adv=w_d > 0,
             has_ref=has_ref,
             add_noise=hp.generator_add_noise,
+            mlpg_impl=getattr(hp, "mlpg_impl", "dense"),
         )
 
     @property
@@ -180,7 +182,8 @@ class GanTrainer:
     (phase, batch-shape) and caches it."""
 
     def __init__(self, model_g, model_d, tx_g, tx_d, cfg: StepConfig,
-                 Y_mean, Y_std, model_ref=None):
+                 Y_mean, Y_std, model_ref=None, windows=None):
+        self.windows = windows  # needed only for mlpg_impl="stencil"
         self.model_g = model_g
         self.model_d = model_d
         self.model_ref = model_ref if model_ref is not None else model_d
@@ -201,9 +204,21 @@ class GanTrainer:
         else:
             y_hat = self.model_g.apply(
                 params, gen_in, lengths, deterministic=det, rngs=rngs)
-            y_hat_static = multi_stream_mlpg(
-                y_hat, R, self.cfg.stream_sizes, self.cfg.has_dynamic_features)
+            y_hat_static = self._mlpg(y_hat, R)
         return y_hat, y_hat_static
+
+    def _mlpg(self, y_hat, R):
+        from gantts_tpu.core.fast_mlpg import (
+            DEFAULT_HALFWIDTH, multi_stream_mlpg_stencil)
+
+        T = y_hat.shape[1]
+        if (self.cfg.mlpg_impl == "stencil" and self.windows is not None
+                and T >= 4 * DEFAULT_HALFWIDTH + 2):
+            return multi_stream_mlpg_stencil(
+                y_hat, self.windows, self.cfg.stream_sizes,
+                self.cfg.has_dynamic_features)
+        return multi_stream_mlpg(
+            y_hat, R, self.cfg.stream_sizes, self.cfg.has_dynamic_features)
 
     def _apply_d(self, params, feats, lengths, train, rng):
         rngs = {"dropout": rng} if train else None

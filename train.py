@@ -59,6 +59,11 @@ def build_arg_parser():
     p.add_argument("--log-event-path", dest="log_event_path", default=None)
     p.add_argument("--disable-slack", dest="disable_slack",
                    action="store_true")
+    # --- TPU-build additions (SURVEY.md section 5 aux subsystems) ---
+    p.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="capture a jax.profiler trace of one epoch here")
+    p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf)")
     return p
 
 
@@ -77,6 +82,11 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["GANTTS_TPU_COMPILE_CACHE"])
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from gantts_tpu import hparams
     from gantts_tpu.hparams import hparams_debug_string
@@ -155,7 +165,8 @@ def main(argv=None):
 
     cfg = StepConfig.from_hparams(hp, w_d, mse_w, mge_w, update_d, update_g,
                                   has_ref=ref_params is not None)
-    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std,
+                         windows=hp.windows)
 
     print(f"Start training from epoch {global_epoch}")
     gstate, dstate, final_epoch = train_loop(
@@ -163,7 +174,7 @@ def main(argv=None):
         w_d=w_d, mse_w=mse_w, mge_w=mge_w,
         update_d=update_d, update_g=update_g,
         checkpoint_dir=args.checkpoint_dir, writer=writer,
-        global_epoch=global_epoch)
+        global_epoch=global_epoch, profile_dir=args.profile_dir)
 
     for state, enabled, name in [(gstate, update_g, "Generator"),
                                  (dstate, cfg.update_d, "Discriminator")]:
