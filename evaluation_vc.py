@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from os.path import basename, exists, join, splitext
+from os.path import basename, join, splitext
 
 import numpy as np
 from scipy.io import wavfile

@@ -27,7 +27,6 @@ Preserved reference quirks (documented, not accidental):
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from gantts_tpu.core.paramgen import unit_variance_mlpg
 from gantts_tpu.models.common import TorchLinear, leaky_relu

@@ -33,6 +33,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gantts_tpu.train.step import GanTrainer
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` with the usual
+    TPU-pod auto-detection when no arguments are given.  After this, every
+    host sees the global device set and ``make_mesh()`` spans the pod (ICI
+    within a slice, DCN across slices — XLA routes collectives)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def host_shard_files(files):
+    """Deterministically partition a file list across hosts (round-robin by
+    ``jax.process_index()``) — the data-loader side of multi-host DP: each
+    host feeds only its shard, the mesh sees the global batch."""
+    import jax
+
+    n, i = jax.process_count(), jax.process_index()
+    return files[i::n]
+
+
 def make_mesh(n_devices=None, axis_name="data"):
     devices = jax.devices()
     if n_devices is not None:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from gantts_tpu import preprocessing as P
-from gantts_tpu.core.paramgen import multi_stream_mlpg, unit_variance_mlpg
+from gantts_tpu.core.paramgen import multi_stream_mlpg
 from gantts_tpu.core.windows import mlpg, unit_variance_mlpg_matrix
 from gantts_tpu.data import round_up
 from gantts_tpu.frontend import sptk, world

@@ -2,7 +2,7 @@
 
 import os
 import sys
-from os.path import dirname, join
+from os.path import dirname
 
 import numpy as np
 import pytest

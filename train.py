@@ -30,7 +30,7 @@ import argparse
 import os
 import sys
 import time
-from os.path import abspath, exists, join
+from os.path import abspath, join
 from warnings import warn
 
 import numpy as np
@@ -90,7 +90,6 @@ def main(argv=None):
 
     from gantts_tpu import hparams
     from gantts_tpu.hparams import hparams_debug_string
-    from gantts_tpu.models import create_model
     from gantts_tpu.train import (
         GanTrainer,
         StepConfig,
@@ -182,6 +181,30 @@ def main(argv=None):
             save_checkpoint(state, final_epoch, args.checkpoint_dir, name)
 
     writer.close()
+
+    # Completion notification (reference train.py:838-857): posts only when
+    # SLACK_API_TOKEN is set and --disable-slack is absent; failures are
+    # swallowed exactly like the reference's try/except.
+    if not args.disable_slack and "SLACK_API_TOKEN" in os.environ:
+        try:
+            import json as _json
+            import urllib.request
+
+            msg = (f"train.py finished! Elapsed: "
+                   f"{(time.time() - since) // 60:.0f} mins.\n"
+                   f"Args: {vars(args)}")
+            req = urllib.request.Request(
+                "https://slack.com/api/chat.postMessage",
+                data=_json.dumps({"channel": "#research", "text": msg}
+                                 ).encode(),
+                headers={
+                    "Authorization":
+                        f"Bearer {os.environ['SLACK_API_TOKEN']}",
+                    "Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=10)
+        except Exception as e:
+            print(str(e))
+
     print(f"Finished! Elapsed: {(time.time() - since) / 60:.1f} min")
     return 0
 

@@ -47,9 +47,9 @@ ckpt() { echo "$1/checkpoint_epoch$2_$3.pth"; }
 
 # 1. Baseline (MGE only, full epochs)
 if [ "$RUN_BASELINE" == 1 ]; then
-    $TRAIN --hparams_name=$HPARAMS_NAME --hparams="$HPARAMS" \
-        --checkpoint-dir=$CHECKPOINT_DIR/baseline \
+    $TRAIN --hparams_name=$HPARAMS_NAME \
         --hparams="nepoch=$TOTAL_EPOCH,$HPARAMS" \
+        --checkpoint-dir=$CHECKPOINT_DIR/baseline \
         --w_d=0 --mge_w=1.0 \
         $INPUTS_DIR $OUTPUTS_DIR
 fi
