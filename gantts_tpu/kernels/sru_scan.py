@@ -46,7 +46,21 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-_CHUNK = 16  # timesteps per grid step (amortizes grid/pipeline overhead)
+_MAX_CHUNK = 16  # timesteps per grid step (amortizes grid/pipeline overhead)
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB VMEM limit
+
+
+def _pick_chunk(B, H, dtype_bytes=4):
+    """Largest power-of-two chunk whose pipelined blocks fit in VMEM.
+
+    Per grid step the pipeline holds ~2x (double buffering) of the three
+    (chunk, B, H) blocks plus the (B, H) carry; oversized blocks fail at
+    compile time with a scoped-vmem OOM (seen at B=96, H=512, chunk=16).
+    """
+    chunk = _MAX_CHUNK
+    while chunk > 1 and 6 * chunk * B * H * dtype_bytes > _VMEM_BUDGET:
+        chunk //= 2
+    return chunk
 
 
 def _fwd_kernel(f_ref, b_ref, o_ref, c_ref):
@@ -84,13 +98,14 @@ def _bwd_kernel(g_ref, fs_ref, o_ref, gh_ref):
 
 
 def _scan_call(kernel, a, b, reverse=False):
-    # a, b: (T, B, H) time-major, T padded to a _CHUNK multiple by the wrapper
+    # a, b: (T, B, H) time-major, T padded to a chunk multiple by the wrapper
     T, B, H = a.shape
-    assert T % _CHUNK == 0
-    n_chunks = T // _CHUNK
-    spec_fwd = pl.BlockSpec((_CHUNK, B, H), lambda t: (t, 0, 0),
+    chunk = _pick_chunk(B, H)
+    assert T % chunk == 0
+    n_chunks = T // chunk
+    spec_fwd = pl.BlockSpec((chunk, B, H), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
-    spec_rev = pl.BlockSpec((_CHUNK, B, H),
+    spec_rev = pl.BlockSpec((chunk, B, H),
                             lambda t: (n_chunks - 1 - t, 0, 0),
                             memory_space=pltpu.VMEM)
     spec = spec_rev if reverse else spec_fwd
@@ -141,7 +156,8 @@ def linear_recurrence_pallas(f, b):
     """
     B, T, H = f.shape
     Bp, Hp = _round_up(max(B, 1), 8), _round_up(max(H, 1), 128)
-    Tp = _round_up(max(T, 1), _CHUNK)
+    Tp = _round_up(max(T, 1), _pick_chunk(_round_up(max(B, 1), 8),
+                                          _round_up(max(H, 1), 128)))
     f = jnp.swapaxes(f, 0, 1)
     b = jnp.swapaxes(b, 0, 1)
     if (Tp, Bp, Hp) != (T, B, H):
