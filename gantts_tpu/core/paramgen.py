@@ -68,15 +68,17 @@ def multi_stream_mlpg(inputs, R, stream_sizes=(180, 3, 1, 3),
     D == sum(stream_sizes); streams without dynamic features pass through.
     Stream boundaries are Python ints, so all slices are static under jit.
     """
-    if R is None:
-        num_windows = 1
-    else:
-        num_windows = R.shape[1] // R.shape[0]
+    num_windows = 1 if R is None else R.shape[1] // R.shape[0]
     D = inputs.shape[-1]
     if D != int(np.sum(stream_sizes)):
         raise RuntimeError(
             "You probably have specified wrong dimension params: "
             f"inputs D={D}, sum(stream_sizes)={int(np.sum(stream_sizes))}")
+    for size, dyn in zip(stream_sizes, has_dynamic_features):
+        if dyn and size % num_windows:
+            raise RuntimeError(
+                f"dynamic stream size {size} not divisible by "
+                f"{num_windows} windows")
 
     start_indices = np.hstack(([0], np.cumsum(stream_sizes)[:-1])).astype(int)
     ret = []

@@ -194,14 +194,11 @@ class MLSAFilter:
         v = np.empty(self.pd + 1)
         for l in range(1, self.pd + 1):
             v[l] = self.stages[l - 1].step(b)
+        # u = x + sum_l (-1)^{l+1} A_l v_l ;  y = u + sum_l A_l v_l
         u = x
-        y = x
         for l in range(1, self.pd + 1):
             term = pade[l] * v[l]
             u += term if (l % 2 == 1) else -term
-            y += term if (l % 2 == 1) else -term
-            y += 0.0
-        # y = u + sum A_l v_l ; u = x + sum (-1)^{l+1} A_l v_l
         y = u + float(np.dot(pade[1:], v[1:]))
         # chain inputs for next sample: stage 1 sees u, stage l sees v_{l-1}
         self.stages[0].push(u)

@@ -140,12 +140,7 @@ def _remove_jumps(f0, allowed_range=0.18, min_run=3):
     """Zero out short/discontinuous voiced runs (DIO FixStep analog)."""
     f0 = f0.copy()
     T = len(f0)
-    # break at relative jumps
-    for i in range(1, T):
-        if f0[i] > 0 and f0[i - 1] > 0:
-            if abs(f0[i] - f0[i - 1]) / f0[i - 1] > allowed_range:
-                f0[i - 1:i] = f0[i - 1:i]  # keep; run split handled below
-    # drop voiced runs shorter than min_run
+    # drop voiced runs shorter than min_run (runs split at relative jumps)
     i = 0
     while i < T:
         if f0[i] == 0:

@@ -41,10 +41,10 @@ def merlin_post_filter(mgc, alpha, minimum_phase_order=511, fftlen=512,
     mgc_p = mgc * weight
     mgc_p_r0 = _c2acr0(freqt(mgc_p, minimum_phase_order, -alpha), fftlen)
 
-    # power matching via c0; b1 equalization via the MLSA-domain b
-    b = mc2b(mgc, alpha)
+    # power matching: replace only b0 of the weighted cepstrum so the
+    # average log power matches the unfiltered track (Merlin recipe keeps
+    # the weighted b[1:] untouched)
     b_p = mc2b(mgc_p, alpha)
-    b_p[:, 0] = b[:, 0] + 0.5 * np.log(
+    b_p[:, 0] += 0.5 * np.log(
         np.maximum(mgc_r0, 1e-300) / np.maximum(mgc_p_r0, 1e-300))
-    b_p[:, 1] = b[:, 1]
     return b2mc(b_p, alpha)

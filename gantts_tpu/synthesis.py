@@ -35,58 +35,79 @@ from gantts_tpu.postfilters import merlin_post_filter
 
 
 class JittedForward:
-    """Bucket-padded, cached-compile single-utterance forward."""
+    """Bucket-padded, cached-compile single-utterance forward.
+
+    In2Out models (``needs_R=True``) run at the EXACT utterance length: they
+    apply MLPG inside the model, and MLPG is a global banded solve, so
+    zero-padded frames would pull the valid tail of the static trajectory
+    toward zero (measured ~8%% relative error on the last frames when
+    bucket-padded).  Generic models are bucket-padded — their padded outputs
+    are masked zeros and are trimmed before the external MLPG.
+    """
 
     def __init__(self, model, variables, hp, needs_R):
         self.model = model
         self.variables = variables
         self.hp = hp
         self.needs_R = needs_R
-        self._fns = {}
+        if needs_R:
+            self._fn = jax.jit(lambda v, x, R, lengths: model.apply(
+                v, x, R, lengths, deterministic=True))
+        else:
+            self._fn = jax.jit(lambda v, x, lengths: model.apply(
+                v, x, lengths, deterministic=True))
         self._r_cache = {}
 
-    def _get(self, T_pad):
-        if T_pad not in self._fns:
-            if self.needs_R:
-                fn = jax.jit(lambda v, x, R, lengths: self.model.apply(
-                    v, x, R, lengths, deterministic=True))
-            else:
-                fn = jax.jit(lambda v, x, lengths: self.model.apply(
-                    v, x, lengths, deterministic=True))
-            self._fns[T_pad] = fn
-        return self._fns[T_pad]
-
-    def _R(self, T_pad):
-        if T_pad not in self._r_cache:
-            self._r_cache[T_pad] = jnp.asarray(
-                unit_variance_mlpg_matrix(self.hp.windows, T_pad))
-        return self._r_cache[T_pad]
+    def _R(self, T):
+        if T not in self._r_cache:
+            self._r_cache[T] = jnp.asarray(
+                unit_variance_mlpg_matrix(self.hp.windows, T))
+        return self._r_cache[T]
 
     def __call__(self, x):
         """x: (T, D) float32 -> model output(s) trimmed back to T."""
         T = x.shape[0]
-        T_pad = round_up(T, getattr(self.hp, "batch_bucket_multiple", 32))
+        if self.needs_R:
+            T_pad = T  # exact length: MLPG runs inside the model
+        else:
+            T_pad = round_up(T, getattr(self.hp, "batch_bucket_multiple", 32))
         xp = np.zeros((1, T_pad, x.shape[1]), np.float32)
         xp[0, :T] = x
         lengths = jnp.asarray([T], jnp.int32)
-        fn = self._get(T_pad)
         if self.needs_R:
-            out = fn(self.variables, jnp.asarray(xp), self._R(T_pad), lengths)
+            out = self._fn(self.variables, jnp.asarray(xp), self._R(T_pad),
+                           lengths)
         else:
-            out = fn(self.variables, jnp.asarray(xp), lengths)
+            out = self._fn(self.variables, jnp.asarray(xp), lengths)
         if isinstance(out, tuple):
             return tuple(np.asarray(o)[0, :T] for o in out)
         return np.asarray(out)[0, :T]
+
+
+# One JittedForward per (model, variables) so repeated utterances reuse the
+# jit trace cache instead of recompiling per call site (models/variables are
+# compared by identity; CLI lifetimes keep them alive).
+_FWD_CACHE = {}
+
+
+def get_jitted_forward(model, variables, hp, needs_R):
+    key = (id(model), id(variables), bool(needs_R))
+    hit = _FWD_CACHE.get(key)
+    if hit is not None and hit.model is model and hit.variables is variables:
+        return hit
+    fwd = JittedForward(model, variables, hp, needs_R)
+    _FWD_CACHE[key] = fwd
+    return fwd
 
 
 def apply_vc_model(model, variables, mc_scaled, hp):
     """Both generator protocols on one normalized utterance
     (evaluation_vc.py:74-83)."""
     if include_parameter_generation(model):
-        fwd = JittedForward(model, variables, hp, needs_R=True)
+        fwd = get_jitted_forward(model, variables, hp, needs_R=True)
         _, y_hat_static = fwd(mc_scaled)
         return np.asarray(y_hat_static)
-    fwd = JittedForward(model, variables, hp, needs_R=False)
+    fwd = get_jitted_forward(model, variables, hp, needs_R=False)
     y_hat = fwd(mc_scaled)
     T = y_hat.shape[0]
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
@@ -241,8 +262,8 @@ def gen_duration(label_path, duration_model, duration_variables,
     feats = P.minmax_scale(feats, X_min, X_max, feature_range=(0.01, 0.99))
     feats = generator_input(hp_duration, feats.astype(np.float32))
 
-    fwd = JittedForward(duration_model, duration_variables, hp_duration,
-                        needs_R=False)
+    fwd = get_jitted_forward(duration_model, duration_variables, hp_duration,
+                             needs_R=False)
     pred = fwd(feats.astype(np.float32))
     pred = P.inv_scale(pred.astype(np.float64), Y_mean, Y_std)
     pred = np.round(pred)
@@ -283,8 +304,8 @@ def tts_from_label(models, variables, label_path, X_min, X_max, Y_mean,
                            feature_range=(0.01, 0.99)).astype(np.float32)
     feats = generator_input(hp_acoustic, feats)
 
-    fwd = JittedForward(models["acoustic"], variables["acoustic"],
-                        hp_acoustic, needs_R=False)
+    fwd = get_jitted_forward(models["acoustic"], variables["acoustic"],
+                             hp_acoustic, needs_R=False)
     acoustic_predicted = fwd(feats)
 
     return gen_waveform(acoustic_predicted.astype(np.float64),

@@ -10,6 +10,7 @@ device arrays pulled to host) so curriculum drivers port unchanged.
 
 from __future__ import annotations
 
+import os
 import pickle
 from os.path import join
 
@@ -18,7 +19,13 @@ import numpy as np
 
 
 def save_checkpoint(state, epoch, checkpoint_dir, name):
-    """state: TrainState(params, opt_state). Name in {Generator, Discriminator}."""
+    """state: TrainState(params, opt_state). Name in {Generator, Discriminator}.
+
+    Multi-host safe: params are replicated under data parallelism, so only
+    process 0 writes (all hosts still participate in the device_get), and
+    the file is written atomically via rename so a crash mid-write never
+    leaves a corrupt checkpoint for the curriculum's next stage to load.
+    """
     checkpoint_path = join(
         checkpoint_dir, f"checkpoint_epoch{epoch}_{name}.pth")
     payload = {
@@ -26,8 +33,12 @@ def save_checkpoint(state, epoch, checkpoint_dir, name):
         "optimizer": jax.device_get(state.opt_state),
         "global_epoch": int(epoch),
     }
-    with open(checkpoint_path, "wb") as f:
+    if jax.process_index() != 0:
+        return checkpoint_path
+    tmp_path = checkpoint_path + ".tmp"
+    with open(tmp_path, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp_path, checkpoint_path)
     print("Saved checkpoint:", checkpoint_path)
     return checkpoint_path
 

@@ -69,7 +69,7 @@ if [ "$RUN_DISCRIMINATOR_WARMUP" == 1 ]; then
         --hparams="nepoch=$DISCRIMINATOR_WARMUP_EPOCH,$HPARAMS" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
-        --discriminator-warmup --w_d=1.0 \
+        --discriminator-warmup --w_d=1.0 --restart_epoch=0 \
         $INPUTS_DIR $OUTPUTS_DIR
 fi
 
@@ -79,7 +79,7 @@ if [ "$RUN_SPOOFING_MODEL" == 1 ]; then
         --hparams="nepoch=$SPOOFING_TOTAL_EPOCH,$HPARAMS" \
         --checkpoint-dir=$CHECKPOINT_DIR/spoofing_model \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/baseline $TOTAL_EPOCH Generator) \
-        --discriminator-warmup --w_d=1.0 \
+        --discriminator-warmup --w_d=1.0 --restart_epoch=0 \
         $INPUTS_DIR $OUTPUTS_DIR
     CHECKPOINT_R="--checkpoint-r=$(ckpt $CHECKPOINT_DIR/spoofing_model $SPOOFING_TOTAL_EPOCH Discriminator)"
 else
