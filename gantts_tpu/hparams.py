@@ -3,16 +3,16 @@
 The reference builds three ``tf.contrib.training.HParams`` namespaces
 (hparams.py:16, 87, 167) selected by name (train.py:665) and overridable via a
 ``"k=v,k2=v2"`` string (train.py:668).  This module provides the same three
-bundles (``vc``, ``tts_duration``, ``tts_acoustic``) with identical field
-names and default values, a compatible :meth:`HParams.parse`, and
-``hparams_debug_string`` (reference hparams.py:9-12) — with no TensorFlow
-dependency.
+bundles (``vc``, ``tts_duration``, ``tts_acoustic``): every field name and
+default value is kept identical by mandate (BASELINE.json north star:
+"preserve the hparams.py public surface"), with no TensorFlow dependency.
 
-The only semantic deltas, both deliberate and TPU-motivated:
-  * ``batch_bucket_multiple`` (new): padded sequence lengths are rounded up to
-    a multiple of this so XLA sees a bounded set of static shapes.
-  * ``compute_dtype`` (new): matmul precision knob ("float32" | "bfloat16").
-Fields left as ``None`` (model in/out dims) are inferred from data stats at
+Semantic additions, all deliberate and TPU-motivated:
+  * ``batch_bucket_multiple``: padded sequence lengths round up to a multiple
+    of this so XLA sees a bounded set of static shapes;
+  * ``compute_dtype``: matmul precision knob (reserved; f32 today);
+  * ``mlpg_impl``: "dense" (R matmul) or "stencil" (O(T*W) conv MLPG).
+Fields left ``None`` (model in/out dims) are inferred from data stats at
 startup exactly as the reference does (train.py:735-768).
 """
 
@@ -28,7 +28,8 @@ class HParams:
     """Minimal HParams: attribute access, ``values()``, ``parse("k=v,...")``.
 
     Parse semantics follow tf.contrib.training.HParams: values are cast to
-    the type of the existing default; lists accept python-literal syntax.
+    the type of the existing default; lists/dicts accept python-literal
+    syntax; strings are taken raw (unquoted).
     """
 
     def __init__(self, **kwargs):
@@ -115,260 +116,163 @@ def hparams_debug_string(params):
 
 
 # ---------------------------------------------------------------------------
-# The three bundles.  Field names and defaults mirror reference hparams.py
-# exactly; optimizer names map onto the optax registry in train/optim.py with
-# torch-compatible semantics.
+# Shared building blocks (values mandated identical to reference hparams.py).
 # ---------------------------------------------------------------------------
 
-# Hyper parameters for voice conversion (reference hparams.py:16-84)
-vc = HParams(
-    name="vc",
+# The static+delta+deltadelta window set (reference hparams.py:22-27, 183-188)
+_DELTA_WINDOWS = [
+    (0, 0, np.array([1.0])),
+    (1, 1, np.array([-0.5, 0.0, 0.5])),
+    (1, 1, np.array([1.0, -2.0, 1.0])),
+]
 
-    # Acoustic features
+_QUESTION_PATH = join(dirname(__file__), "..", "data",
+                      "questions-radio_dnn_416.hed")
+
+# SRU generator settings shared by both TTS bundles (hparams.py:111-122,
+# 211-222); the acoustic bundle overrides dropout.
+_SRU_GENERATOR = dict(in_dim=None, out_dim=None, num_hidden=6, hidden_dim=512,
+                      bidirectional=True, dropout=0.0, use_relu=1,
+                      rnn_dropout=0.2, last_sigmoid=False)
+
+# MLP discriminator shapes per bundle (hparams.py:56-64, 135-143, 231-238)
+def _mlp_discriminator(in_dim, num_hidden, hidden_dim, dropout):
+    return dict(in_dim=in_dim, out_dim=1, num_hidden=num_hidden,
+                hidden_dim=hidden_dim, dropout=dropout, last_sigmoid=True)
+
+
+_TPU_ADDITIONS = dict(
+    batch_bucket_multiple=32,
+    compute_dtype="float32",
+    mlpg_impl="dense",
+)
+
+_LOADER_DEFAULTS = dict(num_workers=1, pin_memory=True, cache_size=1200)
+
+
+def _bundle(**kwargs):
+    merged = dict(kwargs)
+    for extra in (_LOADER_DEFAULTS, _TPU_ADDITIONS):
+        for k, v in extra.items():
+            merged.setdefault(k, v)
+    return HParams(**merged)
+
+
+# ---------------------------------------------------------------------------
+# Voice conversion (reference hparams.py:16-84)
+# ---------------------------------------------------------------------------
+
+vc = _bundle(
+    name="vc",
+    # acoustic features: 59 mel-cepstra (c0 dropped at extraction), 5 ms hop
     order=59,
     frame_period=5,
-    windows=[
-        (0, 0, np.array([1.0])),
-        (1, 1, np.array([-0.5, 0.0, 0.5])),
-        (1, 1, np.array([1.0, -2.0, 1.0])),
-    ],
+    windows=_DELTA_WINDOWS,
     stream_sizes=[59 * 3],
     has_dynamic_features=[True],
-
+    # the single mgc stream feeds the adversarial loss; c0 already removed
     adversarial_streams=[True],
-    # In vc, 0-th coefficients are masked in feature extraction stage.
     mask_nth_mgc_for_adv_loss=0,
-
-    # Generator.  For RNN VC, use In2OutRNNHighwayNet.
+    # generator: In2Out highway net (swap to In2OutRNNHighwayNet for RNN VC)
     generator_add_noise=False,
     generator_noise_dim=200,
     generator="In2OutHighwayNet",
-    generator_params={
-        "in_dim": None,
-        "out_dim": None,
-        "num_hidden": 3,
-        "hidden_dim": 512,
-        "static_dim": 59,
-        "dropout": 0.5,
-    },
+    generator_params=dict(in_dim=None, out_dim=None, num_hidden=3,
+                          hidden_dim=512, static_dim=59, dropout=0.5),
     optimizer_g="Adagrad",
-    optimizer_g_params={
-        "lr": 0.01,
-        "weight_decay": 0,
-    },
-
-    # Discriminator
+    optimizer_g_params=dict(lr=0.01, weight_decay=0),
+    # discriminator: per-frame MLP on the 59 static mel-cepstra
     discriminator_linguistic_condition=False,
     discriminator="MLP",
-    discriminator_params={
-        "in_dim": 59,
-        "out_dim": 1,
-        "num_hidden": 2,
-        "hidden_dim": 256,
-        "dropout": 0.5,
-        "last_sigmoid": True,
-    },
+    discriminator_params=_mlp_discriminator(59, 2, 256, 0.5),
     optimizer_d="Adagrad",
-    optimizer_d_params={
-        "lr": 0.01,
-        "weight_decay": 0,
-    },
-
-    # This should be overridden
-    nepoch=200,
-
-    # LR schedule
+    optimizer_d_params=dict(lr=0.01, weight_decay=0),
+    nepoch=200,  # demos override this
     lr_decay_schedule=False,
     lr_decay_epoch=10,
-
-    # Datasets and data loader
     batch_size=20,
-    num_workers=1,
-    pin_memory=True,
-    cache_size=1200,
-
-    # --- TPU-build additions ---
-    batch_bucket_multiple=32,   # pad T up to a multiple of this (static shapes)
-    compute_dtype="float32",
-    mlpg_impl="dense",          # "dense" | "stencil" (O(T*W) conv MLPG)
 )
 
 
-# Hyper parameters for TTS duration model (reference hparams.py:87-164)
-tts_duration = HParams(
-    name="duration",
+# ---------------------------------------------------------------------------
+# TTS duration model (reference hparams.py:87-164)
+# ---------------------------------------------------------------------------
 
-    # Linguistic features
+tts_duration = _bundle(
+    name="duration",
+    # phone-level linguistic input, no frame expansion
     use_phone_alignment=False,
     subphone_features=None,
     add_frame_features=False,
-    question_path=join(dirname(__file__), "..", "data",
-                       "questions-radio_dnn_416.hed"),
-
-    # Duration features
-    windows=[
-        (0, 0, np.array([1.0])),
-    ],
+    question_path=_QUESTION_PATH,
+    # 5 per-state durations, static only (no delta windows)
+    windows=_DELTA_WINDOWS[:1],
     stream_sizes=[5],
     has_dynamic_features=[False],
-
     recompute_delta_features=False,
-
-    # Streams used for computing adversarial loss
     adversarial_streams=[True],
     mask_nth_mgc_for_adv_loss=0,
-
-    # Generator
     generator="SRURNN",
     generator_add_noise=False,
     generator_noise_dim=200,
-    generator_params={
-        "in_dim": None,  # None will be set automatically
-        "out_dim": None,
-        "num_hidden": 6,
-        "hidden_dim": 512,
-        "bidirectional": True,
-        "dropout": 0.0,
-        "use_relu": 1,
-        "rnn_dropout": 0.2,
-        "last_sigmoid": False,
-    },
+    generator_params=dict(_SRU_GENERATOR),
     optimizer_g="Adam",
-    optimizer_g_params={
-        "lr": 0.001,
-        "betas": (0.5, 0.9),
-        "weight_decay": 0,
-    },
-
-    # Discriminator
+    optimizer_g_params=dict(lr=0.001, betas=(0.5, 0.9), weight_decay=0),
     discriminator_linguistic_condition=True,
     discriminator="MLP",
-    discriminator_params={
-        "in_dim": None,  # None will be set automatically
-        "out_dim": 1,
-        "num_hidden": 3,
-        "hidden_dim": 256,
-        "dropout": 0.0,
-        "last_sigmoid": True,
-    },
+    discriminator_params=_mlp_discriminator(None, 3, 256, 0.0),
     optimizer_d="Adam",
-    optimizer_d_params={
-        "lr": 0.001,
-        "betas": (0.5, 0.9),
-        "weight_decay": 0,
-    },
-
-    # This should be overridden
+    optimizer_d_params=dict(lr=0.001, betas=(0.5, 0.9), weight_decay=0),
     nepoch=200,
-
-    # LR schedule
     lr_decay_schedule=False,
     lr_decay_epoch=25,
-
-    # Datasets and data loader
     batch_size=32,
-    num_workers=1,
-    pin_memory=True,
-    cache_size=1200,
-
-    # --- TPU-build additions ---
-    batch_bucket_multiple=32,
-    compute_dtype="float32",
-    mlpg_impl="dense",          # "dense" | "stencil" (O(T*W) conv MLPG)
 )
 
-# Hyper parameters for TTS acoustic model (reference hparams.py:167-258)
-tts_acoustic = HParams(
-    name="acoustic",
 
-    # Linguistic
+# ---------------------------------------------------------------------------
+# TTS acoustic model (reference hparams.py:167-258)
+# ---------------------------------------------------------------------------
+
+tts_acoustic = _bundle(
+    name="acoustic",
+    # frame-level linguistic input with the 9 "full" subphone features
     use_phone_alignment=False,
     subphone_features="full",
     add_frame_features=True,
-    question_path=join(dirname(__file__), "..", "data",
-                       "questions-radio_dnn_416.hed"),
-
-    # Acoustic features
+    question_path=_QUESTION_PATH,
+    # WORLD analysis settings
     order=59,
     frame_period=5,
     f0_floor=71.0,
     f0_ceil=700,
-    use_harvest=True,  # If False, use dio and stonemask
-    windows=[
-        (0, 0, np.array([1.0])),
-        (1, 1, np.array([-0.5, 0.0, 0.5])),
-        (1, 1, np.array([1.0, -2.0, 1.0])),
-    ],
+    use_harvest=True,  # False selects dio+stonemask
+    windows=_DELTA_WINDOWS,
     f0_interpolation_kind="quadratic",
     mod_spec_smoothing=True,
     mod_spec_smoothing_cutoff=50,  # Hz
-
     recompute_delta_features=False,
-
-    # Stream info: (mgc, lf0, vuv, bap)
+    # stream layout: (mgc, lf0, vuv, bap) with deltas on all but vuv
     stream_sizes=[180, 3, 1, 3],
     has_dynamic_features=[True, True, False, True],
-
-    # Streams used for computing adversarial loss.
-    # NOTE: you should probably change discriminator's `in_dim`
-    # if you change the adv_streams
+    # adversarial loss on the mgc stream only, first two coefficients masked
+    # (Saito 2017's finding: 0th/1st mgc in the adv loss hurt quality);
+    # changing adversarial_streams requires adjusting discriminator in_dim
     adversarial_streams=[True, False, False, False],
-    # mask 0 to n-th mgc for adversarial loss
     mask_nth_mgc_for_adv_loss=2,
-
-    # Generator
     generator_add_noise=False,
     generator_noise_dim=200,
     generator="SRURNN",
-    generator_params={
-        "in_dim": None,  # None will be set automatically
-        "out_dim": None,
-        "num_hidden": 6,
-        "hidden_dim": 512,
-        "bidirectional": True,
-        "dropout": 0.2,
-        "use_relu": 1,
-        "rnn_dropout": 0.2,
-        "last_sigmoid": False,
-    },
+    generator_params=dict(_SRU_GENERATOR, dropout=0.2),
     optimizer_g="Adagrad",
-    optimizer_g_params={
-        "lr": 0.01,
-        "weight_decay": 1e-7,
-    },
-
-    # Discriminator
+    optimizer_g_params=dict(lr=0.01, weight_decay=1e-7),
     discriminator_linguistic_condition=True,
     discriminator="MLP",
-    discriminator_params={
-        "in_dim": None,  # None will be set automatically
-        "out_dim": 1,
-        "num_hidden": 3,
-        "hidden_dim": 256,
-        "dropout": 0.5,
-        "last_sigmoid": True,
-    },
+    discriminator_params=_mlp_discriminator(None, 3, 256, 0.5),
     optimizer_d="Adagrad",
-    optimizer_d_params={
-        "lr": 0.01,
-        "weight_decay": 1e-7,
-    },
-
-    # This should be overridden
+    optimizer_d_params=dict(lr=0.01, weight_decay=1e-7),
     nepoch=200,
-
-    # LR schedule
     lr_decay_schedule=False,
     lr_decay_epoch=25,
-
-    # Datasets and data loader
     batch_size=20,
-    num_workers=1,
-    pin_memory=True,
-    cache_size=1200,
-
-    # --- TPU-build additions ---
-    batch_bucket_multiple=32,
-    compute_dtype="float32",
-    mlpg_impl="dense",          # "dense" | "stencil" (O(T*W) conv MLPG)
 )
