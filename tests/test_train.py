@@ -224,3 +224,21 @@ def test_train_cli_smoke(vc_corpus, tmp_path):
     with open(join(log, "scalars.jsonl")) as f:
         tags = {json.loads(line)["tag"] for line in f}
     assert "train mge loss" in tags and "test mcd metric" in tags
+
+
+def test_vc_rnn_generator_gan(vc_corpus):
+    """BASELINE config #2: VC with the RNN In2Out generator (masked
+    sequence handling through the packed-equivalent LSTM trunk)."""
+    hp = _small_vc_hp()
+    hp.nepoch = 2
+    hp.generator = "In2OutRNNHighwayNet"
+    hp.generator_params = {
+        "in_dim": None, "out_dim": None, "static_dim": 19,
+        "num_hidden": 1, "hidden_dim": 16, "bidirectional": True,
+        "dropout": 0.5,
+    }
+    _, _, rows = _run_vc(vc_corpus, hp, w_d=1.0)
+    mge = _series(rows, "train mge loss")
+    assert len(mge) == 2 and all(np.isfinite(mge))
+    d = _series(rows, "train discriminator loss")
+    assert d and all(np.isfinite(d))
