@@ -33,6 +33,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -114,6 +115,86 @@ def unit_variance_mlpg_stencil(means, windows, halfwidth=DEFAULT_HALFWIDTH,
     y_bot = jnp.einsum("bcks,kwc->bws", u[:, T - C:], bot,
                        precision=precision)
     y = y.at[:, :W].set(y_top).at[:, T - W:].set(y_bot)
+    return y[0] if squeeze else y
+
+
+class MLPGStencil(flax.struct.PyTreeNode):
+    """Length-generalizing MLPG operator: pass this IN PLACE OF the dense R
+    to ``core.paramgen.unit_variance_mlpg`` (plus per-example lengths).
+
+    Carries the Toeplitz interior stencil and the exact T-independent
+    boundary blocks; one jitted program then serves EVERY utterance length
+    (the boundary rows are placed at the true length with dynamic slices),
+    eliminating the per-length recompiles of exact-R evaluation.
+    """
+
+    stencil: jnp.ndarray   # (K, 2W+1)
+    top: jnp.ndarray       # (K, W, C)
+    bot: jnp.ndarray       # (K, W, C)
+
+    @property
+    def halfwidth(self):
+        return self.top.shape[1]
+
+    @classmethod
+    def create(cls, windows, halfwidth=DEFAULT_HALFWIDTH):
+        stencil, top, bot = _stencil_parts(_windows_key(windows), halfwidth)
+        return cls(stencil=jnp.asarray(stencil), top=jnp.asarray(top),
+                   bot=jnp.asarray(bot))
+
+
+def unit_variance_mlpg_dynamic(op: MLPGStencil, means, lengths,
+                               precision=None):
+    """Stencil MLPG on zero-padded (B, Tp, K*S) features with per-example
+    true lengths (traced values; Tp static).
+
+    Exactness: frames [W, length-W) come from the interior stencil (their
+    receptive field lies inside the valid region because length >= 4W+2 is
+    required of callers at trace time via Tp... enforced per example by the
+    caller); frames [0, W) and [length-W, length) are overwritten with the
+    exact boundary solutions; frames >= length are zeroed.
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    squeeze = means.ndim == 2
+    if squeeze:
+        means = means[None]
+        lengths = jnp.reshape(lengths, (1,))
+    B, Tp, KS = means.shape
+    K = op.stencil.shape[0]
+    S = KS // K
+    W = op.halfwidth
+    C = 2 * W
+
+    u = means.reshape(B, Tp, K, S)
+
+    # interior conv (same formulation as unit_variance_mlpg_stencil)
+    lhs = u.transpose(0, 3, 2, 1).reshape(B, S * K, Tp)
+    rhs = jnp.broadcast_to(op.stencil[None, :, :], (S, K, 2 * W + 1))
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(W, W)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=S, precision=precision)
+    y = y.transpose(0, 2, 1)  # (B, Tp, S)
+
+    # exact top boundary (static position)
+    y_top = jnp.einsum("bcks,kwc->bws", u[:, :C], op.top,
+                       precision=precision)
+    y = y.at[:, :W].set(y_top)
+
+    # exact bottom boundary at the dynamic position length-C per example
+    def fix_bottom(y_b, u_b, L):
+        u_tail = jax.lax.dynamic_slice(u_b, (L - C, 0, 0),
+                                       (C, u_b.shape[1], u_b.shape[2]))
+        y_bot = jnp.einsum("cks,kwc->ws", u_tail, op.bot,
+                           precision=precision)
+        return jax.lax.dynamic_update_slice(y_b, y_bot, (L - W, 0))
+
+    y = jax.vmap(fix_bottom)(y, u, lengths)
+
+    # zero the padding
+    mask = (jnp.arange(Tp)[None, :] < lengths[:, None]).astype(y.dtype)
+    y = y * mask[:, :, None]
     return y[0] if squeeze else y
 
 

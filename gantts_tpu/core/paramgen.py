@@ -22,12 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def unit_variance_mlpg(R, means, precision=None):
+def unit_variance_mlpg(R, means, lengths=None, precision=None):
     """Apply the unit-variance MLPG matrix to a static+dynamic trajectory.
 
     Args:
-      R: (T, K*T) MLPG matrix (from ``core.windows.unit_variance_mlpg_matrix``).
+      R: (T, K*T) MLPG matrix (from ``core.windows.unit_variance_mlpg_matrix``)
+        OR a ``core.fast_mlpg.MLPGStencil`` — the length-generalizing
+        operator (then ``lengths`` gives each example's true length and
+        ``means`` may be zero-padded to any static T).
       means: (B, T, K*S) or (T, K*S) normalized static+dynamic features.
+      lengths: (B,) true lengths, only used with an MLPGStencil.
       precision: matmul precision; defaults to HIGHEST because the TPU MXU's
         default bf16 accumulation visibly distorts the recovered statics
         (MLPG errors are feature-domain distortion, not just loss noise).
@@ -39,6 +43,14 @@ def unit_variance_mlpg(R, means, precision=None):
     blocks are re-laid-out window-major ((K*T, S)) then left-multiplied by R.
     """
     import jax.lax
+
+    from gantts_tpu.core.fast_mlpg import MLPGStencil, unit_variance_mlpg_dynamic
+
+    if isinstance(R, MLPGStencil):
+        if lengths is None:
+            raise ValueError("MLPGStencil mode requires per-example lengths")
+        return unit_variance_mlpg_dynamic(R, means, lengths,
+                                          precision=precision)
 
     if precision is None:
         precision = jax.lax.Precision.HIGHEST

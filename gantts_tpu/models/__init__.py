@@ -61,7 +61,7 @@ class In2OutHighwayNet(nn.Module):
             h = nn.Dropout(self.dropout)(leaky_relu(h),
                                          deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="last_linear")(h)
-        Gx = unit_variance_mlpg(R, h)
+        Gx = unit_variance_mlpg(R, h, lengths=lengths)
         return x, x_static + Tx * Gx
 
 
@@ -88,7 +88,7 @@ class In2OutRNNHighwayNet(nn.Module):
                         self.dropout, name="lstm")(
             x, lengths, deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="hidden2out")(h)
-        Gx = unit_variance_mlpg(R, h)
+        Gx = unit_variance_mlpg(R, h, lengths=lengths)
         return x, x_static + Tx * Gx
 
 

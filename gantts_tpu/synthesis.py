@@ -37,20 +37,29 @@ from gantts_tpu.postfilters import merlin_post_filter
 class JittedForward:
     """Bucket-padded, cached-compile single-utterance forward.
 
-    In2Out models (``needs_R=True``) run at the EXACT utterance length: they
-    apply MLPG inside the model, and MLPG is a global banded solve, so
-    zero-padded frames would pull the valid tail of the static trajectory
-    toward zero (measured ~8%% relative error on the last frames when
-    bucket-padded).  Generic models are bucket-padded — their padded outputs
-    are masked zeros and are trimmed before the external MLPG.
+    In2Out models (``needs_R=True``) apply MLPG *inside* the model; naive
+    zero-padding would distort the static trajectory near each utterance's
+    end (MLPG is a global banded solve — measured ~8%% relative tail error),
+    while exact-length computation recompiles per distinct length.  Instead
+    the model receives a ``core.fast_mlpg.MLPGStencil`` in place of the
+    dense R: the stencil operator handles any padded length in one compiled
+    program and places its exact boundary rows at the TRUE length with
+    dynamic slices.  For utterances too short for the stencil
+    (< 4*halfwidth+2 frames) the exact dense R at true length is used.
+    Generic models are bucket-padded — their padded outputs are masked zeros
+    and are trimmed before the external MLPG.
     """
 
     def __init__(self, model, variables, hp, needs_R):
+        from gantts_tpu.core.fast_mlpg import DEFAULT_HALFWIDTH, MLPGStencil
+
         self.model = model
         self.variables = variables
         self.hp = hp
         self.needs_R = needs_R
+        self._min_stencil_T = 4 * DEFAULT_HALFWIDTH + 2
         if needs_R:
+            self._stencil = MLPGStencil.create(hp.windows)
             self._fn = jax.jit(lambda v, x, R, lengths: model.apply(
                 v, x, R, lengths, deterministic=True))
         else:
@@ -67,16 +76,17 @@ class JittedForward:
     def __call__(self, x):
         """x: (T, D) float32 -> model output(s) trimmed back to T."""
         T = x.shape[0]
-        if self.needs_R:
-            T_pad = T  # exact length: MLPG runs inside the model
+        use_stencil = self.needs_R and T >= self._min_stencil_T
+        if self.needs_R and not use_stencil:
+            T_pad = T  # short utterance: exact dense R at true length
         else:
             T_pad = round_up(T, getattr(self.hp, "batch_bucket_multiple", 32))
         xp = np.zeros((1, T_pad, x.shape[1]), np.float32)
         xp[0, :T] = x
         lengths = jnp.asarray([T], jnp.int32)
         if self.needs_R:
-            out = self._fn(self.variables, jnp.asarray(xp), self._R(T_pad),
-                           lengths)
+            R = self._stencil if use_stencil else self._R(T_pad)
+            out = self._fn(self.variables, jnp.asarray(xp), R, lengths)
         else:
             out = self._fn(self.variables, jnp.asarray(xp), lengths)
         if isinstance(out, tuple):

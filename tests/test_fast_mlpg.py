@@ -48,3 +48,63 @@ def test_stencil_rejects_short():
     u = jnp.zeros((1, 50, 9))
     with pytest.raises(ValueError):
         unit_variance_mlpg_stencil(u, WINDOWS3)
+
+
+def test_dynamic_stencil_matches_exact_per_length():
+    """One compiled stencil program must reproduce exact dense-R MLPG for
+    multiple true lengths inside one padded buffer."""
+    import jax
+
+    from gantts_tpu.core.fast_mlpg import MLPGStencil
+    from gantts_tpu.core.paramgen import unit_variance_mlpg as uvm
+
+    rng = np.random.RandomState(0)
+    S, Tp = 5, 256
+    op = MLPGStencil.create(WINDOWS3)
+    fn = jax.jit(lambda u, l: uvm(op, u, lengths=l))
+    for T in (104, 163, 256):
+        u = np.zeros((1, Tp, 3 * S), np.float32)
+        u[0, :T] = rng.randn(T, 3 * S)
+        y_dyn = np.asarray(fn(jnp.asarray(u), jnp.asarray([T])))[0, :T]
+        R = jnp.asarray(unit_variance_mlpg_matrix(WINDOWS3, T))
+        y_exact = np.asarray(uvm(R, jnp.asarray(u[0, :T])))
+        err = np.abs(y_dyn - y_exact).max()
+        assert err < 2e-5, f"T={T}: dynamic stencil err {err}"
+        # padding must be zeroed
+        if T < Tp:
+            pad = np.asarray(fn(jnp.asarray(u), jnp.asarray([T])))[0, T:]
+            assert np.abs(pad).max() == 0
+
+
+def test_in2out_eval_uses_one_compile_for_all_lengths():
+    """JittedForward with an In2Out model must not recompile per length."""
+    import jax
+
+    from gantts_tpu import hparams
+    from gantts_tpu.models import create_model
+    from gantts_tpu.synthesis import JittedForward
+
+    hp = hparams.vc.copy()
+    hp.order = 5
+    hp.stream_sizes = [15]
+    hp.generator_params.update(in_dim=15, out_dim=15, static_dim=5,
+                               num_hidden=1, hidden_dim=8)
+    model = create_model(hp.generator, **hp.generator_params)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 104, 15), np.float32),
+                           jnp.asarray(unit_variance_mlpg_matrix(
+                               WINDOWS3, 104)))
+    fwd = JittedForward(model, variables, hp, needs_R=True)
+    outs = {}
+    for T in (104, 131, 160):  # all pad to the same bucket (160)
+        x = np.random.RandomState(T).randn(T, 15).astype(np.float32)
+        _, y = fwd(x)
+        outs[T] = y
+        assert y.shape == (T, 5)
+    # exactness vs dense-R direct application at true length
+    for T, y in outs.items():
+        x = np.random.RandomState(T).randn(T, 15).astype(np.float32)
+        R = jnp.asarray(unit_variance_mlpg_matrix(WINDOWS3, T))
+        _, y_exact = model.apply(variables, x[None], R,
+                                 jnp.asarray([T]))
+        assert np.abs(y - np.asarray(y_exact)[0]).max() < 2e-5, T
