@@ -18,9 +18,14 @@ Conventions (matching nnmnkwii):
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
-_LOGDB = 10.0 / jnp.log(10.0) * jnp.sqrt(2.0)
+# Plain-Python constant: importing this module must never touch a device
+# backend (a module-level jnp expression would initialize one, which breaks
+# "import gantts_tpu, then pick a platform" flows like dryrun_multichip).
+_LOGDB = 10.0 / math.log(10.0) * math.sqrt(2.0)
 
 
 def melcd(x, y, mask):
