@@ -20,8 +20,11 @@ like the reference (train.py:773-774): ``create_model(hp.generator,
 Preserved reference quirks (documented, not accidental):
   * ``GRURNN`` actually wraps an LSTM (reference models.py:175).
   * ``MLP`` accepts a dummy ``bidirectional`` kwarg (models.py:123).
-  * The In2Out models return the *input* as the first output, so the MSE
-    term of the generator loss is inert for them (models.py:69, train.py:294).
+  * ``In2OutHighwayNet`` reassigns ``x`` through its trunk (models.py:63-66),
+    so its first return is the pre-MLPG ``last_linear`` output — with
+    ``mse_w > 0`` the MSE term trains the trunk in the delta domain.  Only
+    ``In2OutRNNHighwayNet`` keeps ``x`` untouched (models.py:94-118) and
+    returns the *input*, making its MSE term inert.
 """
 
 from __future__ import annotations
@@ -62,7 +65,10 @@ class In2OutHighwayNet(nn.Module):
                                          deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="last_linear")(h)
         Gx = unit_variance_mlpg(R, h, lengths=lengths)
-        return x, x_static + Tx * Gx
+        # Reference quirk (models.py:63-69): ``x`` was reassigned through the
+        # trunk, so the first return is the pre-MLPG trunk output, NOT the
+        # input — the generator MSE term (mse_w) trains the trunk directly.
+        return h, x_static + Tx * Gx
 
 
 class In2OutRNNHighwayNet(nn.Module):
@@ -89,6 +95,9 @@ class In2OutRNNHighwayNet(nn.Module):
             x, lengths, deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="hidden2out")(h)
         Gx = unit_variance_mlpg(R, h, lengths=lengths)
+        # Unlike the MLP variant, the reference RNN forward (models.py:94-118)
+        # never reassigns ``x``: the first return IS the input, so the MSE
+        # term is inert for this model.
         return x, x_static + Tx * Gx
 
 

@@ -24,8 +24,10 @@ into the generator's accumulated grads (zero_grad precedes the D update,
 train.py:538-539+274), so its generator step optimizes
 ``loss_g + loss_d``'s generator component — almost surely unintended.  Here
 the D update sees ``stop_gradient(y_hat_static)`` and the G update sees only
-``loss_g``, i.e. textbook GAN semantics.  The In2Out protocol's inert MSE
-term (y_hat == the input, models.py:69) IS preserved.
+``loss_g``, i.e. textbook GAN semantics.  The In2Out first-return quirk IS
+preserved: ``In2OutHighwayNet`` returns its pre-MLPG trunk output (reference
+models.py:63-69, MSE term live), ``In2OutRNNHighwayNet`` returns the input
+(models.py:94-118, MSE term inert).
 """
 
 from __future__ import annotations
@@ -335,8 +337,13 @@ class GanTrainer:
                     opt_state=new_opt)
             out.update(mse=loss_mse, mge=loss_mge, loss_adv=loss_adv,
                        generator=loss_g)
-            out.update(compute_distortions(
-                y_static, jax.lax.stop_gradient(y_hat_static),
-                self.Y_mean, self.Y_std, mask, cfg))
+
+        # 5. distortion metrics — unconditionally, like the reference
+        #    (train.py:588-595 runs every batch regardless of update flags),
+        #    so D-warmup (update_g=False, stage 3) still logs the quality
+        #    series.
+        out.update(compute_distortions(
+            y_static, jax.lax.stop_gradient(y_hat_static),
+            self.Y_mean, self.Y_std, mask, cfg))
 
         return gstate, dstate, out

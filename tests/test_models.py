@@ -35,7 +35,10 @@ def test_in2out_highway_forward_and_grad():
     variables = model.init(rng, x, R)
     x_out, y = model.apply(variables, x, R)
     assert y.shape == (1, T, static_dim)
-    assert np.allclose(np.asarray(x_out), np.asarray(x))
+    # Reference quirk (models.py:63-69): the first return is the pre-MLPG
+    # last_linear trunk output, not the input.
+    assert x_out.shape == (1, T, in_dim)
+    assert not np.allclose(np.asarray(x_out), np.asarray(x))
 
     # mini-batch + masked loss gradient smoke test
     B = 8
@@ -166,3 +169,55 @@ def test_in2out_rnn_highway():
     variables = model.init(jax.random.PRNGKey(1), x, R, lengths)
     x_out, y = model.apply(variables, x, R, lengths)
     assert y.shape == (2, T, 6)
+    # RNN variant preserves the OTHER reference quirk (models.py:94-118):
+    # the first return is the untouched input, so its MSE term is inert.
+    assert np.allclose(np.asarray(x_out), np.asarray(x))
+
+
+def test_in2out_highway_first_return_is_trunk_output():
+    """mse_w>0 semantics (reference models.py:63-69): the MLP In2Out variant
+    returns the last_linear trunk output as y_hat; recompute it by hand from
+    the extracted params and check exact agreement."""
+    model = create_model("In2OutHighwayNet", in_dim=10, out_dim=10,
+                         static_dim=5, num_hidden=2, hidden_dim=8)
+    T = 16
+    R = jnp.asarray(unit_variance_mlpg_matrix(WINDOWS2, T))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (3, T, 10))
+    variables = model.init(jax.random.PRNGKey(1), x, R)
+    x_out, _ = model.apply(variables, x, R)
+
+    from gantts_tpu.models.common import leaky_relu
+    p = variables["params"]
+    h = x
+    for i in range(2):
+        li = p[f"H_{i}"]["Dense_0"]
+        h = leaky_relu(h @ li["kernel"] + li["bias"])
+    ll = p["last_linear"]["Dense_0"]
+    h = h @ ll["kernel"] + ll["bias"]
+    assert np.allclose(np.asarray(x_out), np.asarray(h), atol=1e-6)
+
+
+def test_in2out_mse_term_gradient_semantics():
+    """With mse_w>0 the MLP variant's MSE term must train the trunk, while
+    the RNN variant's MSE term must be inert (zero gradient)."""
+    T = 16
+    R = jnp.asarray(unit_variance_mlpg_matrix(WINDOWS2, T))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, T, 10))
+    y_tgt = jax.random.uniform(jax.random.PRNGKey(1), (2, T, 10))
+    lengths = jnp.array([12, 16])
+
+    def mse_grad_norm(name, **kw):
+        model = create_model(name, in_dim=10, out_dim=10, static_dim=5,
+                             num_hidden=1, hidden_dim=8, **kw)
+        variables = model.init(jax.random.PRNGKey(2), x, R, lengths)
+
+        def loss(params):
+            y_hat, _ = model.apply(params, x, R, lengths)
+            return masked_mse_loss(y_hat, y_tgt, lengths=lengths)
+
+        g = jax.grad(loss)(variables)
+        return sum(float(jnp.abs(l).sum())
+                   for l in jax.tree_util.tree_leaves(g))
+
+    assert mse_grad_norm("In2OutHighwayNet") > 0
+    assert mse_grad_norm("In2OutRNNHighwayNet") == 0.0
