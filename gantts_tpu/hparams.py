@@ -101,7 +101,23 @@ def _cast_like(default, raw):
         return int(raw)
     if isinstance(default, float):
         return float(raw)
-    if isinstance(default, (list, tuple, dict)) or default is None:
+    if isinstance(default, (list, tuple, dict)):
+        # A typo'd literal must fail HERE, not far downstream (the reference
+        # HParams raised immediately on malformed values).
+        try:
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError) as e:
+            raise ValueError(
+                f"Cannot parse {raw!r} as a Python literal (the default is "
+                f"a {type(default).__name__})") from e
+        if not isinstance(val, (list, tuple, dict)):
+            raise ValueError(
+                f"Expected a {type(default).__name__} literal, got "
+                f"{raw!r} ({type(val).__name__})")
+        return val
+    if default is None:
+        # Dims (ints) and optional strings both default to None: accept any
+        # literal, fall back to the raw string (e.g. subphone_features=full).
         try:
             return ast.literal_eval(raw)
         except (ValueError, SyntaxError):
