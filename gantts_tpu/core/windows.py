@@ -135,7 +135,6 @@ def unit_variance_mlpg_matrix(windows, T, dtype=np.float32):
     """
     K = len(windows)
     ab = _banded_precision(windows, T)
-    cb = scipy.linalg.cholesky_banded(ab, lower=False)
     # RHS: W*^T laid out as (T, K*T): column (k*T + t) is row t of W_k.
     rhs = np.zeros((T, K * T), dtype=np.float64)
     for k, window in enumerate(windows):
@@ -147,8 +146,20 @@ def unit_variance_mlpg_matrix(windows, T, dtype=np.float32):
             t = np.arange(max(0, -off), min(T, T - off))
             # W_k[t, t+off] = c  ->  (W_k^T)[t+off, t] = c
             rhs[t + off, k * T + t] = c
-    R = scipy.linalg.cho_solve_banded((cb, False), rhs)
+    R = _solveh_banded(ab, rhs)
     return np.ascontiguousarray(R, dtype=dtype)
+
+
+def _solveh_banded(ab, rhs):
+    """Banded SPD solve; C++ production path (cpp/frontend.cpp
+    banded_cholesky_solve), scipy fallback."""
+    from gantts_tpu.frontend import native
+
+    if native.available():
+        return native.banded_cholesky_solve(
+            ab, np.ascontiguousarray(rhs, np.float64),
+            bandwidth=ab.shape[0] - 1)
+    return scipy.linalg.solveh_banded(ab, rhs, lower=False)
 
 
 def mlpg(means, variances, windows):
@@ -208,7 +219,7 @@ def mlpg(means, variances, windows):
                     i = np.arange(s0, s1) + k1
                     j = np.arange(s0, s1) + k2
                     ab[b + i - j, j] += c1 * c2 * inv_var
-        out[:, d] = scipy.linalg.solveh_banded(ab, rhs, lower=False)
+        out[:, d] = _solveh_banded(ab, rhs[:, None])[:, 0]
     return out
 
 

@@ -68,6 +68,11 @@ def _load():
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int, c_double_p]
     lib.mlsa_synthesis.restype = None
 
+    lib.ola_add.argtypes = [
+        c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double]
+    lib.ola_add.restype = None
+
     lib.dtw_path.argtypes = [
         c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64,
         ctypes.c_int64, c_int32_p, c_int32_p]
@@ -99,6 +104,15 @@ def mlsa_synthesis(excitation, b_frames, alpha, hopsize, pd=5):
         b_frames.shape[0], b_frames.shape[1] - 1,
         ctypes.c_double(alpha), int(hopsize), int(pd), _ptr(out))
     return out
+
+
+def ola_add(out, ir, offset, gain=1.0):
+    """In-place clipped scatter-add: out[offset:offset+len(ir)] += gain*ir."""
+    lib = _load()
+    assert out.dtype == np.float64 and out.flags.c_contiguous
+    ir = np.ascontiguousarray(ir, dtype=np.float64)
+    lib.ola_add(_ptr(out), len(out), _ptr(ir), len(ir),
+                ctypes.c_int64(int(offset)), ctypes.c_double(float(gain)))
 
 
 def dtw_path(x, y):

