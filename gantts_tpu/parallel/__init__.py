@@ -99,6 +99,33 @@ class DataParallelGanTrainer(GanTrainer):
             mesh = make_mesh()
         self.mesh = mesh
 
+    # -- operand placement ---------------------------------------------------
+    def put_batch(self, x, y, lengths, z=None):
+        """Pad the batch axis to a device multiple (zero-length rows are
+        inert under the masked losses) and shard it over the mesh.  Under
+        multi-host each process contributes its local shard
+        (``make_array_from_process_local_data``)."""
+        multi_host = jax.process_count() > 1
+        # Pad to a multiple of the devices THIS process feeds; under
+        # multi-host the global batch is assembled from the local shards.
+        n = int(self.mesh.local_mesh.devices.size if multi_host
+                else self.mesh.devices.size)
+        arrs = [np.asarray(x), np.asarray(y)]
+        if z is not None:
+            arrs.append(np.asarray(z))
+        arrs, lengths = pad_batch_to_devices(arrs, np.asarray(lengths), n)
+        sh = batch_sharding(self.mesh)
+        if multi_host:
+            put = lambda a: jax.make_array_from_process_local_data(sh, a)  # noqa: E731
+        else:
+            put = lambda a: jax.device_put(a, sh)  # noqa: E731
+        x, y = put(arrs[0]), put(arrs[1])
+        z_out = put(arrs[2]) if z is not None else None
+        return x, y, put(lengths), z_out
+
+    def put_replicated(self, a):
+        return jax.device_put(a, replicated(self.mesh))
+
     def step_fn(self, train: bool):
         key = bool(train)
         if key not in self._jitted:

@@ -30,16 +30,21 @@ CHECKPOINT_INTERVAL = 10  # reference train.py:66
 
 
 class RMatrixCache:
-    """unit_variance_mlpg_matrix per bucketed length, device-resident."""
+    """unit_variance_mlpg_matrix per bucketed length, device-resident.
 
-    def __init__(self, windows):
+    ``placer`` controls device placement (replicated over a mesh for the
+    data-parallel trainer; plain upload otherwise)."""
+
+    def __init__(self, windows, placer=jnp.asarray):
         self.windows = windows
+        self.placer = placer
         self._cache = {}
 
     def get(self, T):
         if T not in self._cache:
-            self._cache[T] = jnp.asarray(
-                unit_variance_mlpg_matrix(self.windows, T))
+            self._cache[T] = self.placer(
+                np.asarray(unit_variance_mlpg_matrix(self.windows, T),
+                           np.float32))
         return self._cache[T]
 
 
@@ -57,7 +62,8 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
     import time as _time
 
     cfg = trainer.cfg
-    r_cache = RMatrixCache(hp.windows) if cfg.has_dynamic else None
+    r_cache = (RMatrixCache(hp.windows, placer=trainer.put_replicated)
+               if cfg.has_dynamic else None)
     noise_rs = np.random.RandomState(seed)
     rng = jax.random.PRNGKey(seed)
 
@@ -93,16 +99,12 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
             for x, y, lengths in dataset_loaders[phase]:
                 B, T = x.shape[0], x.shape[1]
                 R = r_cache.get(T) if r_cache is not None else None
-                if cfg.add_noise:
-                    z = noise_rs.rand(
-                        B, T, hp.generator_noise_dim).astype(np.float32)
-                    z = jnp.asarray(z)
-                else:
-                    z = None
+                z = (noise_rs.rand(B, T, hp.generator_noise_dim)
+                     .astype(np.float32) if cfg.add_noise else None)
+                x, y, lengths, z = trainer.put_batch(x, y, lengths, z)
                 rng, step_rng = jax.random.split(rng)
                 gstate, dstate, out = step(
-                    gstate, dstate, ref_params,
-                    jnp.asarray(x), jnp.asarray(y), jnp.asarray(lengths),
+                    gstate, dstate, ref_params, x, y, lengths,
                     R, z, jnp.float32(adv_w), step_rng)
                 acc.append(out)
 

@@ -56,11 +56,24 @@ def prepare_vc(X, Y, utt_lengths, hp, data_dir):
 
     loaders = {}
     for phase in ["train", "test"]:
-        ds = VCDataset(X[phase], Y[phase], data_mean, data_std)
+        Xp, Yp = _host_shard_lists(X[phase], Y[phase])
+        ds = VCDataset(Xp, Yp, data_mean, data_std)
         loaders[phase] = BatchIterator(
             ds, hp.batch_size, shuffle=(phase == "train"),
             bucket_multiple=hp.batch_bucket_multiple)
     return loaders, data_mean, data_std
+
+
+def _host_shard_lists(*lists):
+    """Multi-host DP data sharding: stats above are computed from the FULL
+    train split (identical on every host), but each host's loader feeds only
+    its round-robin shard of utterances (SURVEY.md section 2.4) — the mesh
+    assembles the global batch from the per-process shards."""
+    n, i = jax.process_count(), jax.process_index()
+    if n <= 1:
+        return lists if len(lists) > 1 else lists[0]
+    out = tuple(lst[i::n] for lst in lists)
+    return out if len(out) > 1 else out[0]
 
 
 def infer_tts_dims(hp, X_data_min, Y_data_mean):
@@ -100,7 +113,8 @@ def prepare_tts(X, Y, utt_lengths, hp, data_dir):
 
     loaders = {}
     for phase in ["train", "test"]:
-        ds = TTSDataset(X[phase], Y[phase], X_data_min, X_data_max,
+        Xp, Yp = _host_shard_lists(X[phase], Y[phase])
+        ds = TTSDataset(Xp, Yp, X_data_min, X_data_max,
                         Y_data_mean, Y_data_std,
                         recompute_deltas=hp.recompute_delta_features,
                         windows=hp.windows, stream_sizes=hp.stream_sizes,

@@ -227,6 +227,16 @@ class GanTrainer:
         return self.model_d.apply(params, feats, lengths,
                                   deterministic=not train, rngs=rngs)
 
+    # -- batch/operand placement (overridden by the data-parallel trainer) ---
+    def put_batch(self, x, y, lengths, z=None):
+        """Place one host batch on device(s).  Single-device: plain upload."""
+        return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(lengths),
+                jnp.asarray(z) if z is not None else None)
+
+    def put_replicated(self, a):
+        """Place a batch-independent operand (e.g. the MLPG matrix R)."""
+        return jnp.asarray(a)
+
     def step_fn(self, train: bool):
         """Return the jitted step for the given phase (compiled per shape)."""
         key = bool(train)

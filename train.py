@@ -64,6 +64,17 @@ def build_arg_parser():
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf)")
+    # --- multi-chip / multi-host (SURVEY.md section 2.4) ---
+    p.add_argument("--num-devices", dest="num_devices", type=int, default=0,
+                   help="devices for the data mesh (0 = all visible; "
+                        "1 forces the single-device trainer)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize first")
+    p.add_argument("--coordinator-address", dest="coordinator_address",
+                   default=None)
+    p.add_argument("--num-processes", dest="num_processes", type=int,
+                   default=None)
+    p.add_argument("--process-id", dest="process_id", type=int, default=None)
     return p
 
 
@@ -71,6 +82,15 @@ def main(argv=None):
     since = time.time()
     args = build_arg_parser().parse_args(argv)
     print("Command line args:\n", vars(args))
+
+    # Deterministic platform pin for tests/tools: the JAX_PLATFORMS env var
+    # can be ignored here because sitecustomize imports jax at interpreter
+    # startup; a config update is the reliable channel (CLAUDE.md env traps).
+    if os.environ.get("GANTTS_TPU_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms",
+                          os.environ["GANTTS_TPU_PLATFORM"])
 
     # Optional persistent XLA compilation cache (off by default: on the
     # axon/TPU-tunnel backend, enabling it makes compiles ~20x SLOWER —
@@ -87,6 +107,13 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+
+    # Multi-host bring-up must precede any backend-initializing JAX call.
+    if args.distributed:
+        from gantts_tpu.parallel import initialize_distributed
+
+        initialize_distributed(args.coordinator_address,
+                               args.num_processes, args.process_id)
 
     from gantts_tpu import hparams
     from gantts_tpu.hparams import hparams_debug_string
@@ -164,8 +191,29 @@ def main(argv=None):
 
     cfg = StepConfig.from_hparams(hp, w_d, mse_w, mge_w, update_d, update_g,
                                   has_ref=ref_params is not None)
-    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std,
-                         windows=hp.windows)
+
+    # Data parallelism over a device mesh: automatic whenever more than one
+    # device is visible (SURVEY.md section 2.4 — the TPU build's headline
+    # addition over the strictly single-device reference).  XLA's SPMD
+    # partitioner inserts the gradient all-reduces; the step body is
+    # identical to the single-device trainer's.
+    import jax
+
+    n_visible = len(jax.devices())
+    n_mesh = min(args.num_devices, n_visible) if args.num_devices > 0 \
+        else n_visible
+    if n_mesh > 1:
+        from gantts_tpu.parallel import DataParallelGanTrainer, make_mesh
+
+        mesh = make_mesh(n_mesh)
+        print(f"Data-parallel over {n_mesh} devices "
+              f"({jax.process_count()} host(s)): {mesh}")
+        trainer = DataParallelGanTrainer(
+            model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std,
+            windows=hp.windows, mesh=mesh)
+    else:
+        trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean,
+                             Y_std, windows=hp.windows)
 
     print(f"Start training from epoch {global_epoch}")
     gstate, dstate, final_epoch = train_loop(
