@@ -45,6 +45,11 @@ def bench_jax_tpu(steps=30, warmup=3):
     from gantts_tpu.train.setup import init_models_and_states
 
     hp = hparams.tts_acoustic.copy()
+    # Production TPU config: RNN/MLP matmuls in bf16 with f32 accumulation
+    # (MLPG stays f32 HIGHEST); ~4x MXU throughput + half the operand HBM
+    # traffic on v5e.  Numerics validated in tests/test_models.py
+    # (test_compute_dtype_bf16_close_to_f32).
+    hp.compute_dtype = "bfloat16"
     hp.generator_params.update(in_dim=LIN_DIM, out_dim=OUT_DIM)
     # disc in_dim: 60 static mgc - 2 masked + 425 linguistic
     hp.discriminator_params.update(in_dim=60 - 2 + LIN_DIM)
@@ -172,6 +177,13 @@ def bench_torch_cpu(steps=2, warmup=1):
     return float(lengths.sum()) * steps / dt
 
 
+# Analytic matmul FLOPs of one fused G+D training step, per valid frame
+# (SRU projections fwd 45.8M + bwd ~2x, MLP discriminator x3 + its backwards,
+# MLPG; derivation in tools/profile_step.py / README perf section).
+STEP_MFLOP_PER_FRAME = 141.0
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def main():
     fps = bench_jax_tpu()
     if exists(CACHE):
@@ -182,11 +194,13 @@ def main():
         with open(CACHE, "w") as f:
             json.dump({"torch_cpu_frames_per_sec": baseline,
                        "workload": f"B={B} T={T} acoustic GAN step"}, f)
+    mfu = fps * STEP_MFLOP_PER_FRAME * 1e6 / (V5E_BF16_PEAK_TFLOPS * 1e12)
     print(json.dumps({
         "metric": "gan_train_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
     }))
 
 

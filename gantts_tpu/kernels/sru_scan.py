@@ -167,3 +167,219 @@ def linear_recurrence_pallas(f, b):
     if (Tp, Bp, Hp) != (T, B, H):
         c = c[:T, :B, :H]
     return jnp.swapaxes(c, 0, 1)
+
+
+# ===========================================================================
+# Fused SRU layer kernel: gates + masking + recurrence + highway output in
+# ONE pass over HBM.
+#
+# The unfused layer (models/sru.py fallback) moves ~18 (B,T,H)-sized arrays
+# through HBM per layer/direction (gate sigmoids, masked f/b, scan in/out,
+# highway combine); this kernel reads u = x@W + bias once (4H), reads the
+# per-row length vector, and writes h, c, c_prev (3H) — with the recurrence
+# carry living in VMEM scratch across grid steps.  Direction is handled by
+# the index maps (reverse traversal), so the bidirectional path needs NO
+# time-flip materialization at all.
+#
+# Masking is computed in-kernel from a (B, H)-broadcast float length vector:
+# frame s is valid iff s < length[b].  Padded frames behave as identity
+# (f=1, input 0) and emit h=0, matching models/sru.py exactly.
+# ===========================================================================
+
+
+def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
+                      u_ref, len_ref, h_ref, c_ref, cp_ref, carry_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    lv = len_ref[...]  # (B, H) float: per-row valid length
+    H = carry_ref.shape[-1]
+    block = (n_chunks - 1 - t) if rev else t
+
+    def body(i, c):
+        j = (chunk - 1 - i) if rev else i
+        s = block * chunk + j  # global time index
+        m = (s < lv).astype(c.dtype)
+        x_t = u_ref[j, :, 0:H]
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H])
+        fm = f * m + (1.0 - m)
+        bm = (1.0 - f) * x_t * m
+        cp_ref[j] = c
+        c = fm * c + bm
+        c_ref[j] = c
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H])
+        g = jnp.maximum(c, 0.0) if use_relu else jnp.tanh(c)
+        h_ref[j] = (r * g + (1.0 - r) * u_ref[j, :, 3 * H:4 * H]) * m
+        return c
+
+    carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
+
+
+def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
+                      u_ref, len_ref, c_ref, cp_ref, gh_ref, du_ref,
+                      ghat_ref, fm_ref):
+    # Traverses the OPPOSITE direction of the forward pass; `rev` here is
+    # the traversal's own reversal flag (i.e. rev == not layer.reverse).
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        ghat_ref[...] = jnp.zeros_like(ghat_ref)
+        fm_ref[...] = jnp.zeros_like(fm_ref)
+
+    lv = len_ref[...]
+    H = ghat_ref.shape[-1]
+    block = (n_chunks - 1 - t) if rev else t
+
+    def body(i, carry):
+        ghat, fm_next = carry
+        j = (chunk - 1 - i) if rev else i
+        s = block * chunk + j
+        m = (s < lv).astype(ghat.dtype)
+        x_t = u_ref[j, :, 0:H]
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H])
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H])
+        x_p = u_ref[j, :, 3 * H:4 * H]
+        c = c_ref[j]
+        cp = cp_ref[j]
+        if use_relu:
+            g = jnp.maximum(c, 0.0)
+            gp = (c > 0.0).astype(ghat.dtype)
+        else:
+            g = jnp.tanh(c)
+            gp = 1.0 - g * g
+        gh = gh_ref[j]
+        ghat = gh * m * r * gp + fm_next * ghat
+        du_ref[j, :, 0:H] = ghat * (1.0 - f) * m
+        du_ref[j, :, H:2 * H] = m * ghat * (cp - x_t) * f * (1.0 - f)
+        du_ref[j, :, 2 * H:3 * H] = gh * m * (g - x_p) * r * (1.0 - r)
+        du_ref[j, :, 3 * H:4 * H] = gh * (1.0 - r) * m
+        fm_next = f * m + (1.0 - m)
+        return ghat, fm_next
+
+    ghat_ref[...], fm_ref[...] = jax.lax.fori_loop(
+        0, chunk, body, (ghat_ref[...], fm_ref[...]))
+
+
+def _fused_specs(T, B, H, chunk, rev):
+    n_chunks = T // chunk
+
+    def idx(t):
+        return ((n_chunks - 1 - t) if rev else t, 0, 0)
+
+    u_spec = pl.BlockSpec((chunk, B, 4 * H), idx, memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((B, H), lambda t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return u_spec, h_spec, len_spec, n_chunks
+
+
+_FUSED_VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem limit is 16 MB; leave room
+
+
+def _fused_chunk(B, H, h_blocks):
+    """Largest power-of-two chunk fitting the pipeline in scoped VMEM.
+
+    ``h_blocks`` counts H-wide block unitss held per grid step: forward has
+    u(4) + h/c/cp(3) = 7; backward has u(4) + c/cp/gh(3) + du(4) = 11.
+    Everything is double-buffered (x2)."""
+    chunk = _MAX_CHUNK
+    while chunk > 1 and 2 * chunk * B * h_blocks * H * 4 > _FUSED_VMEM_BUDGET:
+        chunk //= 2
+    return chunk
+
+
+def _fused_fwd_call(u, len_bc, rev, use_relu):
+    T, B, H4 = u.shape
+    H = H4 // 4
+    chunk = _fused_chunk(B, H, 7)
+    assert T % chunk == 0
+    u_spec, h_spec, len_spec, n_chunks = _fused_specs(T, B, H, chunk, rev)
+    from functools import partial
+
+    kern = partial(_fused_fwd_kernel, rev, use_relu, chunk, n_chunks)
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), u.dtype)] * 3
+    return pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[u_spec, len_spec],
+        out_specs=[h_spec, h_spec, h_spec],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((B, H), u.dtype)],
+        interpret=not _on_tpu(),
+    )(u, len_bc)
+
+
+def _fused_bwd_call(u, len_bc, c, cp, gh, rev_layer, use_relu):
+    T, B, H4 = u.shape
+    H = H4 // 4
+    chunk = _fused_chunk(B, H, 11)
+    rev = not rev_layer  # traverse opposite to the forward direction
+    u_spec, h_spec, len_spec, n_chunks = _fused_specs(T, B, H, chunk, rev)
+    from functools import partial
+
+    kern = partial(_fused_bwd_kernel, rev, use_relu, chunk, n_chunks)
+    return pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[u_spec, len_spec, h_spec, h_spec, h_spec],
+        out_specs=[u_spec],
+        out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), u.dtype)],
+        scratch_shapes=[pltpu.VMEM((B, H), u.dtype),
+                        pltpu.VMEM((B, H), u.dtype)],
+        interpret=not _on_tpu(),
+    )(u, len_bc, c, cp, gh)[0]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_sru_padded(u, len_bc, rev, use_relu):
+    h, _, _ = _fused_fwd_call(u, len_bc, rev, use_relu)
+    return h
+
+
+def _fused_sru_fwd(u, len_bc, rev, use_relu):
+    h, c, cp = _fused_fwd_call(u, len_bc, rev, use_relu)
+    return h, (u, len_bc, c, cp)
+
+
+def _fused_sru_bwd(rev, use_relu, res, gh):
+    u, len_bc, c, cp = res
+    du = _fused_bwd_call(u, len_bc, c, cp, gh, rev, use_relu)
+    return du, jnp.zeros_like(len_bc)
+
+
+_fused_sru_padded.defvjp(_fused_sru_fwd, _fused_sru_bwd)
+
+
+def fused_sru_layer(u, lengths, reverse=False, use_relu=0):
+    """One full SRU layer direction from pre-activations.
+
+    u: (T, B, 4H) time-major ``x @ W + [0, bf, br, 0]`` (bias folded);
+    lengths: (B,) int.  Returns h: (T, B, H) with padded frames zeroed.
+    Gradient flows to u only (bias gradients come out of du's f/r blocks
+    by reduction in the caller's autodiff).
+    """
+    T, B, H4 = u.shape
+    H = H4 // 4
+    Bp = _round_up(max(B, 1), 8)
+    Hp = _round_up(max(H, 1), 128)
+    # T padded to the MAX chunk so every power-of-two chunk choice divides it
+    Tp = _round_up(max(T, 1), _MAX_CHUNK)
+    if Hp != H:
+        u = u.reshape(T, B, 4, H)
+        u = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, Hp - H)))
+        u = u.reshape(T, B, 4 * Hp)
+    if (Tp, Bp) != (T, B):
+        u = jnp.pad(u, ((0, Tp - T), (0, Bp - B), (0, 0)))
+    len_bc = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.float32)[:, None], (B, Hp))
+    if Bp != B:
+        len_bc = jnp.pad(len_bc, ((0, Bp - B), (0, 0)))
+    h = _fused_sru_padded(u, len_bc, bool(reverse), bool(use_relu))
+    return h[:T, :B, :H]

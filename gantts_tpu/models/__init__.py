@@ -49,6 +49,7 @@ class In2OutHighwayNet(nn.Module):
     num_hidden: int = 3
     hidden_dim: int = 512
     dropout: float = 0.5
+    compute_dtype: str = "float32"
 
     include_parameter_generation = True
 
@@ -60,7 +61,8 @@ class In2OutHighwayNet(nn.Module):
         Tx = nn.sigmoid(TorchLinear(self.static_dim, name="T")(x_static))
         h = x
         for i in range(self.num_hidden):
-            h = TorchLinear(self.hidden_dim, name=f"H_{i}")(h)
+            h = TorchLinear(self.hidden_dim, self.compute_dtype,
+                            name=f"H_{i}")(h)
             h = nn.Dropout(self.dropout)(leaky_relu(h),
                                          deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="last_linear")(h)
@@ -81,6 +83,7 @@ class In2OutRNNHighwayNet(nn.Module):
     hidden_dim: int = 512
     bidirectional: bool = False
     dropout: float = 0.5
+    compute_dtype: str = "float32"
 
     include_parameter_generation = True
 
@@ -91,7 +94,7 @@ class In2OutRNNHighwayNet(nn.Module):
         x_static = x[:, :, : self.static_dim]
         Tx = nn.sigmoid(TorchLinear(self.static_dim, name="T")(x_static))
         h = StackedLSTM(self.hidden_dim, self.num_hidden, self.bidirectional,
-                        self.dropout, name="lstm")(
+                        self.dropout, self.compute_dtype, name="lstm")(
             x, lengths, deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="hidden2out")(h)
         Gx = unit_variance_mlpg(R, h, lengths=lengths)
@@ -112,6 +115,7 @@ class MLP(nn.Module):
     dropout: float = 0.5
     last_sigmoid: bool = True
     bidirectional: bool | None = None  # dummy, parity with reference
+    compute_dtype: str = "float32"
 
     include_parameter_generation = False
 
@@ -119,7 +123,8 @@ class MLP(nn.Module):
     def __call__(self, x, lengths=None, deterministic=True):
         h = x
         for i in range(self.num_hidden):
-            h = TorchLinear(self.hidden_dim, name=f"layers_{i}")(h)
+            h = TorchLinear(self.hidden_dim, self.compute_dtype,
+                            name=f"layers_{i}")(h)
             h = nn.Dropout(self.dropout)(leaky_relu(h),
                                          deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="last_linear")(h)
@@ -139,13 +144,15 @@ class SRURNN(nn.Module):
     last_sigmoid: bool = False
     use_relu: int = 0
     rnn_dropout: float = 0.0
+    compute_dtype: str = "float32"
 
     include_parameter_generation = False
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         h = SRU(self.hidden_dim, self.num_hidden, self.bidirectional,
-                self.dropout, self.rnn_dropout, self.use_relu, name="gru")(
+                self.dropout, self.rnn_dropout, self.use_relu,
+                self.compute_dtype, name="gru")(
             x, lengths, deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="hidden2out")(h)
         return nn.sigmoid(h) if self.last_sigmoid else h
@@ -161,13 +168,14 @@ class GRURNN(nn.Module):
     bidirectional: bool = False
     dropout: float = 0.0
     last_sigmoid: bool = False
+    compute_dtype: str = "float32"
 
     include_parameter_generation = False
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         h = StackedLSTM(self.hidden_dim, self.num_hidden, self.bidirectional,
-                        self.dropout, name="gru")(
+                        self.dropout, self.compute_dtype, name="gru")(
             x, lengths, deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="hidden2out")(h)
         return nn.sigmoid(h) if self.last_sigmoid else h
@@ -183,13 +191,14 @@ class LSTMRNN(nn.Module):
     bidirectional: bool = False
     dropout: float = 0.0
     last_sigmoid: bool = False
+    compute_dtype: str = "float32"
 
     include_parameter_generation = False
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         h = StackedLSTM(self.hidden_dim, self.num_hidden, self.bidirectional,
-                        self.dropout, name="lstm")(
+                        self.dropout, self.compute_dtype, name="lstm")(
             x, lengths, deterministic=deterministic)
         h = TorchLinear(self.out_dim, name="hidden2out")(h)
         return nn.sigmoid(h) if self.last_sigmoid else h

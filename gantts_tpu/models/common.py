@@ -22,20 +22,80 @@ def torch_uniform_init(bound):
     return init
 
 
+@jax.custom_vjp
+def _matmul_bf16(x, w):
+    return jnp.matmul(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+def _matmul_bf16_fwd(x, w):
+    x16 = x.astype(jnp.bfloat16)
+    w16 = w.astype(jnp.bfloat16)
+    y = jnp.matmul(x16, w16, preferred_element_type=jnp.float32)
+    return y, (x16, w16)
+
+
+def _matmul_bf16_bwd(res, g):
+    # Cast the cotangent to bf16 so BOTH backward matmuls (dgrad and wgrad)
+    # also run on the bf16 MXU path — without this they silently promote to
+    # f32 (f32 cotangent x bf16 operand) and the backward pass stays at f32
+    # throughput.  Accumulation remains f32.
+    x16, w16 = res
+    g16 = g.astype(jnp.bfloat16)
+    dx = jnp.matmul(g16, jnp.swapaxes(w16, -1, -2),
+                    preferred_element_type=jnp.float32)
+    # wgrad sums over all leading (batch/time) axes: reshape to 2-D.
+    k = w16.shape[-2]
+    x2 = x16.reshape(-1, k)
+    g2 = g16.reshape(-1, g16.shape[-1])
+    dw = jnp.matmul(x2.T, g2, preferred_element_type=jnp.float32)
+    return dx.astype(jnp.float32), dw.astype(jnp.float32)
+
+
+_matmul_bf16.defvjp(_matmul_bf16_fwd, _matmul_bf16_bwd)
+
+
+def matmul_cast(x, w, compute_dtype="float32"):
+    """MXU matmul in ``compute_dtype`` with float32 accumulation/output.
+
+    On v5e a bfloat16 matmul has ~4x the f32 MXU throughput and halves the
+    operand HBM traffic; ``preferred_element_type=float32`` keeps the
+    accumulator (and the returned array) in f32, so downstream elementwise
+    math and reductions are unaffected.  The custom VJP keeps the backward
+    matmuls on the bf16 path too (cotangents cast to bf16).  f32 stays the
+    default — parity bundles keep exact reference numerics; the TPU
+    production config opts in via the ``compute_dtype`` hparam (MLPG is
+    exempt and always runs f32 HIGHEST, core/paramgen.py).
+    """
+    cd = jnp.dtype(compute_dtype)
+    if cd == jnp.float32:
+        return x @ w
+    if cd == jnp.bfloat16:
+        return _matmul_bf16(x, w)
+    return jnp.matmul(x.astype(cd), w.astype(cd),
+                      preferred_element_type=jnp.float32)
+
+
 class TorchLinear(nn.Module):
-    """nn.Dense with torch nn.Linear's default init."""
+    """nn.Dense with torch nn.Linear's default init.
+
+    ``compute_dtype``: matmul precision (params stay f32, output cast back
+    to f32) — see ``matmul_cast``."""
 
     features: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         bound = 1.0 / (fan_in ** 0.5)
-        return nn.Dense(
+        y = nn.Dense(
             self.features,
             kernel_init=torch_uniform_init(bound),
             bias_init=torch_uniform_init(bound),
+            dtype=jnp.dtype(self.compute_dtype),
         )(x)
+        return y.astype(jnp.float32)
 
 
 def leaky_relu(x):

@@ -25,7 +25,7 @@ import flax.linen as nn
 
 from gantts_tpu.models.common import (
     default_lengths,
-    reverse_padded,
+    matmul_cast,
     torch_uniform_init,
 )
 
@@ -34,6 +34,7 @@ class LSTMLayer(nn.Module):
     """Single-direction masked LSTM layer (torch gate order i, f, g, o)."""
 
     hidden_dim: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, mask):
@@ -49,12 +50,16 @@ class LSTMLayer(nn.Module):
         b_ih = self.param("b_ih", init, (4 * H,))
         b_hh = self.param("b_hh", init, (4 * H,))
 
-        xp = x @ w_ih + (b_ih + b_hh)  # (B, T, 4H), hoisted out of the scan
+        # (B, T, 4H), hoisted out of the scan (one big MXU matmul)
+        xp = matmul_cast(x, w_ih, self.compute_dtype) + (b_ih + b_hh)
+        cd = jnp.dtype(self.compute_dtype)
+        w_hh_c = w_hh.astype(cd)  # cast once, reused every scan step
 
         def step(carry, inputs):
             h, c = carry
             xp_t, m_t = inputs  # (B, 4H), (B, 1)
-            gates = xp_t + h @ w_hh
+            gates = xp_t + jnp.matmul(h.astype(cd), w_hh_c,
+                                      preferred_element_type=jnp.float32)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
             g = jnp.tanh(g)
@@ -79,6 +84,7 @@ class StackedLSTM(nn.Module):
     num_layers: int
     bidirectional: bool = False
     dropout: float = 0.0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
@@ -86,14 +92,18 @@ class StackedLSTM(nn.Module):
         T = x.shape[1]
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
         mask = mask[:, :, None]
+        # Flip-based backward direction (see models/sru.py): leading padding
+        # is inert because the masked scan freezes the (zero) carry there.
+        rev_mask = jnp.flip(mask, axis=1)
         out = x
         for layer in range(self.num_layers):
-            fwd = LSTMLayer(self.hidden_dim, name=f"l{layer}_fwd")(out, mask)
+            fwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
+                            name=f"l{layer}_fwd")(out, mask)
             if self.bidirectional:
-                rev_in = reverse_padded(out, lengths)
-                bwd = LSTMLayer(self.hidden_dim, name=f"l{layer}_bwd")(rev_in, mask)
-                bwd = reverse_padded(bwd, lengths) * mask
-                out = jnp.concatenate([fwd, bwd], axis=-1)
+                bwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
+                                name=f"l{layer}_bwd")(
+                    jnp.flip(out, axis=1), rev_mask)
+                out = jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
             else:
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:

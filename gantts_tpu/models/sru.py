@@ -9,14 +9,24 @@ recurrence is *elementwise*:
 
 Elementwise recurrences are exactly the shape TPUs like: all input
 projections (x~, f, r, highway) are ONE big MXU matmul over the whole
-(B, T) block, and the only sequential dependency — the c_t chain — is a
-first-order linear recurrence, computed here with
-``jax.lax.associative_scan`` (Blelloch parallel scan: O(log T) depth, fully
-vectorized over batch and hidden).  No Pallas needed for correctness; a
-fused Pallas variant lives in kernels/ as an optimization.
+(B, T) block (bf16 in the production config, models/common.py matmul_cast),
+and everything else — gate sigmoids, length masking, the c_t recurrence and
+the highway combine — runs as ONE fused Pallas kernel per direction
+(kernels/sru_scan.py fused_sru_layer) that reads the pre-activations once
+from HBM and writes h once, with the carry living in VMEM.
+
+Layout: the stack is TIME-MAJOR internally ((T, B, D)); the batch-major
+input is transposed once on entry and once on exit.  The backward direction
+is a *reverse-traversal* of the same kernel (index maps run the grid
+right-to-left), so bidirectionality costs no flip/gather materialization.
 
 Masking: padded steps use f_t = 1, input contribution 0, so the state is
 carried through unchanged and outputs past the length are zeroed.
+
+Fallbacks (CPU tests, or layers with D == H where the highway bypass reads
+the raw input): a pure-JAX composition over ``jax.lax.associative_scan``
+(Blelloch parallel scan, O(log T) depth) with time flips for the backward
+direction — numerically equivalent, equivalence-tested in tests/.
 
 Config surface matches the reference (hparams.py:111-122, 211-222):
 ``use_relu`` selects g = relu (else tanh), ``rnn_dropout`` is applied to the
@@ -32,13 +42,13 @@ import flax.linen as nn
 
 from gantts_tpu.models.common import (
     default_lengths,
-    reverse_padded,
+    matmul_cast,
     torch_uniform_init,
 )
 
 
-def linear_recurrence(f, b):
-    """c_t = f_t * c_{t-1} + b_t with c_0 = 0, along axis 1, via parallel scan.
+def linear_recurrence(f, b, axis=1):
+    """c_t = f_t * c_{t-1} + b_t with c_0 = 0, via parallel scan.
 
     The pair (f, b) composes associatively:
       (f2, b2) o (f1, b1) = (f1*f2, f2*b1 + b2).
@@ -48,29 +58,35 @@ def linear_recurrence(f, b):
         f2, b2 = right
         return f1 * f2, f2 * b1 + b2
 
-    _, c = jax.lax.associative_scan(combine, (f, b), axis=1)
+    _, c = jax.lax.associative_scan(combine, (f, b), axis=axis)
     return c
 
 
 def dispatch_linear_recurrence(f, b):
-    """Pallas grid-scan on TPU (minimal HBM traffic, see kernels/sru_scan.py),
-    associative scan elsewhere."""
+    """(B, T, H) linear recurrence: Pallas grid-scan on TPU, associative
+    scan elsewhere.  Kept for the non-fused fallback path and tests."""
     from gantts_tpu import kernels
 
     if kernels.default_use_pallas():
         return kernels.linear_recurrence_pallas(f, b)
-    return linear_recurrence(f, b)
+    return linear_recurrence(f, b, axis=1)
 
 
 class SRULayer(nn.Module):
-    """One direction of one SRU layer."""
+    """One direction of one SRU layer, time-major: (T, B, D) -> (T, B, H).
+
+    ``reverse=True`` runs the recurrence right-to-left (the backward
+    direction of a bidirectional stack) without materializing any flip.
+    """
 
     hidden_dim: int
     use_relu: int = 0
+    compute_dtype: str = "float32"
+    reverse: bool = False
 
     @nn.compact
-    def __call__(self, x, mask):
-        B, T, D = x.shape
+    def __call__(self, x, lengths):
+        T, B, D = x.shape
         H = self.hidden_dim
         bound = 1.0 / (H ** 0.5)
         init = torch_uniform_init(bound)
@@ -80,20 +96,41 @@ class SRULayer(nn.Module):
         bf = self.param("bf", init, (H,))
         br = self.param("br", init, (H,))
 
-        u = x @ w  # single MXU matmul for the whole block
+        # Single MXU matmul for the whole block (bf16 in the production
+        # config, f32 accumulation); everything downstream is the fused
+        # Pallas kernel (or the scan fallback), all f32.
+        u = matmul_cast(x, w, self.compute_dtype)
+
+        from gantts_tpu import kernels
+
+        if k == 4 and kernels.default_use_pallas():
+            zeros = jnp.zeros_like(bf)
+            bias4 = jnp.concatenate([zeros, bf, br, zeros])
+            return kernels.fused_sru_layer(
+                u + bias4, lengths, reverse=self.reverse,
+                use_relu=self.use_relu)
+
+        # ---- fallback: pure-JAX composition (flips for reverse) ----------
+        mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x.dtype)
+        mask = mask[:, :, None]
+        if self.reverse:
+            u = jnp.flip(u, axis=0)
+            mask_d = jnp.flip(mask, axis=0)
+        else:
+            mask_d = mask
         x_tilde = u[..., :H]
         f = jax.nn.sigmoid(u[..., H:2 * H] + bf)
         r = jax.nn.sigmoid(u[..., 2 * H:3 * H] + br)
-        x_prime = x if D == H else u[..., 3 * H:]
+        x_prime = (jnp.flip(x, 0) if self.reverse else x) if k == 3 \
+            else u[..., 3 * H:]
 
-        # Masked linear recurrence: padded steps carry the state through.
-        f_m = f * mask + (1.0 - mask)          # f -> 1 on padding
-        b_m = (1.0 - f) * x_tilde * mask       # input contribution -> 0
-        c = dispatch_linear_recurrence(f_m, b_m)
+        f_m = f * mask_d + (1.0 - mask_d)       # f -> 1 on padding
+        b_m = (1.0 - f) * x_tilde * mask_d      # input contribution -> 0
+        c = linear_recurrence(f_m, b_m, axis=0)
 
         g = jax.nn.relu if self.use_relu else jnp.tanh
-        h = r * g(c) + (1.0 - r) * x_prime
-        return h * mask
+        h = (r * g(c) + (1.0 - r) * x_prime) * mask_d
+        return jnp.flip(h, axis=0) if self.reverse else h
 
 
 class SRU(nn.Module):
@@ -105,28 +142,26 @@ class SRU(nn.Module):
     dropout: float = 0.0        # between layers
     rnn_dropout: float = 0.0    # on each layer's input
     use_relu: int = 0
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         lengths = default_lengths(x, lengths)
-        T = x.shape[1]
-        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
-        mask = mask[:, :, None]
-        out = x
+        # Time-major through the whole stack: one transpose in, one out.
+        out = jnp.swapaxes(x, 0, 1)
         for layer in range(self.num_layers):
             inp = out
             if self.rnn_dropout > 0:
                 inp = nn.Dropout(self.rnn_dropout)(inp, deterministic=deterministic)
-            fwd = SRULayer(self.hidden_dim, self.use_relu,
-                           name=f"l{layer}_fwd")(inp, mask)
+            fwd = SRULayer(self.hidden_dim, self.use_relu, self.compute_dtype,
+                           name=f"l{layer}_fwd")(inp, lengths)
             if self.bidirectional:
-                rev_in = reverse_padded(inp, lengths)
                 bwd = SRULayer(self.hidden_dim, self.use_relu,
-                               name=f"l{layer}_bwd")(rev_in, mask)
-                bwd = reverse_padded(bwd, lengths) * mask
+                               self.compute_dtype, reverse=True,
+                               name=f"l{layer}_bwd")(inp, lengths)
                 out = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return out
+        return jnp.swapaxes(out, 0, 1)

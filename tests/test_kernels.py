@@ -53,3 +53,58 @@ def test_pallas_scan_jit_and_vmapless_batch():
     out = jax.jit(linear_recurrence_pallas)(f, b)
     ref = linear_recurrence(f, b)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_sru_layer_matches_fallback():
+    """Fused Pallas SRU layer (interpret mode on CPU) == pure-JAX fallback,
+    forward and gradient, both directions."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_sru_layer
+    from gantts_tpu.models.sru import linear_recurrence
+
+    rs = np.random.RandomState(0)
+    T, B, H = 23, 3, 5
+    lengths = jnp.asarray(np.array([23, 15, 7], np.int32))
+    u = jnp.asarray(rs.randn(T, B, 4 * H).astype(np.float32))
+
+    def fallback(u, reverse, use_relu):
+        mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(u.dtype)
+        mask = mask[:, :, None]
+        ud = jnp.flip(u, 0) if reverse else u
+        md = jnp.flip(mask, 0) if reverse else mask
+        x_t = ud[..., :H]
+        f = jax.nn.sigmoid(ud[..., H:2 * H])
+        r = jax.nn.sigmoid(ud[..., 2 * H:3 * H])
+        x_p = ud[..., 3 * H:]
+        f_m = f * md + (1 - md)
+        b_m = (1 - f) * x_t * md
+        c = linear_recurrence(f_m, b_m, axis=0)
+        g = jax.nn.relu if use_relu else jnp.tanh
+        h = (r * g(c) + (1 - r) * x_p) * md
+        return jnp.flip(h, 0) if reverse else h
+
+    for reverse in (False, True):
+        for use_relu in (0, 1):
+            h_ref = fallback(u, reverse, use_relu)
+            h_fused = fused_sru_layer(u, lengths, reverse=reverse,
+                                      use_relu=use_relu)
+            assert np.allclose(np.asarray(h_fused), np.asarray(h_ref),
+                               atol=2e-5), (reverse, use_relu)
+
+            tgt = jnp.asarray(rs.randn(T, B, H).astype(np.float32))
+
+            def loss_fused(u):
+                return jnp.sum((fused_sru_layer(
+                    u, lengths, reverse=reverse, use_relu=use_relu)
+                    - tgt) ** 2)
+
+            def loss_ref(u):
+                return jnp.sum((fallback(u, reverse, use_relu) - tgt) ** 2)
+
+            g_fused = np.asarray(jax.grad(loss_fused)(u))
+            g_ref = np.asarray(jax.grad(loss_ref)(u))
+            scale = np.abs(g_ref).max()
+            assert np.abs(g_fused - g_ref).max() < 1e-4 * max(scale, 1.0), \
+                (reverse, use_relu)

@@ -221,3 +221,28 @@ def test_in2out_mse_term_gradient_semantics():
 
     assert mse_grad_norm("In2OutHighwayNet") > 0
     assert mse_grad_norm("In2OutRNNHighwayNet") == 0.0
+
+
+@pytest.mark.parametrize("name", ["SRURNN", "LSTMRNN", "MLP"])
+def test_compute_dtype_bf16_close_to_f32(name):
+    """bf16 matmuls (f32 accumulation) must track the f32 path closely and
+    share the same param structure (checkpoints are dtype-agnostic)."""
+    kw = dict(in_dim=12, out_dim=6, num_hidden=2, hidden_dim=16,
+              last_sigmoid=False)
+    m32 = create_model(name, **kw)
+    m16 = create_model(name, compute_dtype="bfloat16", **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 40, 12))
+    lengths = jnp.array([40, 30, 17])
+    v = m32.init(jax.random.PRNGKey(1), x, lengths)
+    y32 = np.asarray(m32.apply(v, x, lengths))
+    y16 = np.asarray(m16.apply(v, x, lengths))  # same params, bf16 compute
+    assert y16.dtype == np.float32
+    scale = np.abs(y32).max()
+    assert np.abs(y32 - y16).max() < 0.03 * max(scale, 1.0)
+
+    def loss(params):
+        return jnp.sum(m16.apply(params, x, lengths) ** 2)
+
+    g = jax.grad(loss)(v)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Ablation profile of the bench GAN step (real TPU).
+
+Times each component of the fused step at the bench workload shape
+(B=20, T=512, 425->187, 6x512 biSRU G, 3x256 MLP D) to localize the
+bottleneck: full step, G forward, G fwd+bwd, SRU stack alone, Pallas scan
+alone, MLPG matmul, D forward, optimizer updates.
+
+usage: python tools/profile_step.py [--trace-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from os.path import dirname
+
+import numpy as np
+
+sys.path.insert(0, dirname(dirname(os.path.abspath(__file__))))
+
+B, T = 20, 512
+LIN_DIM, OUT_DIM = 425, 187
+
+
+def timed(fn, *args, steps=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / steps * 1e3  # ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--compute-dtype", default="float32")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from gantts_tpu import hparams
+    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+    from gantts_tpu.core.paramgen import multi_stream_mlpg
+    from gantts_tpu.core.masking import masked_mse_loss, sequence_mask
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.setup import init_models_and_states
+    from gantts_tpu.models import create_model
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+
+    hp = hparams.tts_acoustic.copy()
+    hp.compute_dtype = args.compute_dtype
+    hp.generator_params.update(in_dim=LIN_DIM, out_dim=OUT_DIM)
+    hp.discriminator_params.update(in_dim=60 - 2 + LIN_DIM)
+    print("compute_dtype:", hp.compute_dtype, flush=True)
+
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                         np.zeros(OUT_DIM, np.float32),
+                         np.ones(OUT_DIM, np.float32))
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(B, T, LIN_DIM).astype(np.float32))
+    y = jnp.asarray(rs.rand(B, T, OUT_DIM).astype(np.float32))
+    lengths = jnp.asarray(
+        np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32))
+    R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
+    rng = jr.PRNGKey(0)
+    xd = jnp.asarray(rs.rand(B, T, 60 - 2 + LIN_DIM).astype(np.float32))
+
+    rows = []
+
+    # full fused step
+    step = trainer.step_fn(train=True)
+
+    def full(gs, ds, k):
+        return step(gs, ds, None, x, y, lengths, R, None, jnp.float32(1.0), k)
+
+    # run on copies (donation): re-init each loop is too slow; instead use
+    # the returned states so buffers stay alive.
+    gs, ds = gstate, dstate
+    for _ in range(3):
+        gs, ds, out = full(gs, ds, rng)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    N = 20
+    for _ in range(N):
+        gs, ds, out = full(gs, ds, rng)
+    jax.block_until_ready(out)
+    rows.append(("full G+D step", (time.perf_counter() - t0) / N * 1e3))
+
+    # G forward only
+    gfwd = jax.jit(lambda p: model_g.apply(p, x, lengths, deterministic=True))
+    rows.append(("G forward", timed(gfwd, gs.params)))
+
+    # G fwd+bwd (MGE loss through MLPG)
+    y_static_ref = multi_stream_mlpg(y, R, tuple(hp.stream_sizes),
+                                     tuple(hp.has_dynamic_features))
+    mask = sequence_mask(lengths, T)[..., None]
+
+    def g_loss(p):
+        yh = model_g.apply(p, x, lengths, deterministic=True)
+        yhs = multi_stream_mlpg(yh, R, tuple(hp.stream_sizes),
+                                tuple(hp.has_dynamic_features))
+        return masked_mse_loss(yhs, y_static_ref, mask=mask)
+
+    gbwd = jax.jit(jax.grad(g_loss))
+    rows.append(("G fwd+bwd (mge)", timed(gbwd, gs.params)))
+
+    # MLPG matmul alone (fwd)
+    mlpg_fn = jax.jit(lambda u: multi_stream_mlpg(
+        u, R, tuple(hp.stream_sizes), tuple(hp.has_dynamic_features)))
+    rows.append(("MLPG fwd", timed(mlpg_fn, y)))
+
+    # D forward
+    dfwd = jax.jit(lambda p: model_d.apply(p, xd, lengths,
+                                           deterministic=True))
+    rows.append(("D forward", timed(dfwd, ds.params)))
+
+    # SRU stack alone (the 6x512 bidirectional trunk, no output head)
+    from gantts_tpu.models.sru import SRU
+
+    sru = SRU(hp.generator_params["hidden_dim"],
+              hp.generator_params["num_hidden"],
+              hp.generator_params["bidirectional"], 0.0, 0.0,
+              hp.generator_params["use_relu"],
+              compute_dtype=hp.compute_dtype)
+    sru_vars = sru.init(jr.PRNGKey(0), x, lengths)
+    sfwd = jax.jit(lambda v: sru.apply(v, x, lengths, deterministic=True))
+    rows.append(("SRU trunk fwd", timed(sfwd, sru_vars)))
+
+    def s_loss(v):
+        return jnp.sum(sru.apply(v, x, lengths, deterministic=True) ** 2)
+
+    sbwd = jax.jit(jax.grad(s_loss))
+    rows.append(("SRU trunk fwd+bwd", timed(sbwd, sru_vars)))
+
+    # optimizer update alone (Adagrad over 22.9M G params)
+    g_grads = jax.tree_util.tree_map(jnp.ones_like, gs.params)
+    opt_fn = jax.jit(lambda grads, st, p: tx_g.update(grads, st, p))
+    rows.append(("G optimizer update", timed(opt_fn, g_grads, gs.opt_state,
+                                             gs.params)))
+
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(gs.params))
+    print(f"\nG params: {n_params/1e6:.1f}M   B={B} T={T}")
+    for name, ms in rows:
+        print(f"{name:24s} {ms:8.2f} ms")
+    frames = float(np.asarray(lengths).sum())
+    full_ms = rows[0][1]
+    print(f"\nframes/sec/chip: {frames / (full_ms / 1e3):,.0f}")
+
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
+        for _ in range(3):
+            gs, ds, out = full(gs, ds, rng)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        print("trace ->", args.trace_dir)
+
+
+if __name__ == "__main__":
+    main()
