@@ -17,9 +17,13 @@ DIO / CheapTrick / D4C papers), not ported from the WORLD sources:
   stonemask   F0 refinement by parabolic-interpolated normalized
               autocorrelation around the DIO estimate (same goal as WORLD's
               instantaneous-frequency refinement: sub-bin F0 accuracy).
-  harvest     dio with denser candidate channels + stonemask refinement
-              (capability-equivalent stand-in; WORLD's harvest is a distinct
-              algorithm — documented deviation, revisit for quality parity).
+  harvest     Harvest-style estimation: dense multi-channel candidate map,
+              best-stable base contour, contour FIXING (short-segment
+              removal + extension through unstable regions by re-selecting
+              agreeing candidates), harmonic-lock correction, NCC
+              refinement.  Measured on synthetic ground truth
+              (vocoder_fidelity.json): 9.1 Hz RMSE, 0.11% gross errors,
+              5.8% core V/UV error.
   cheaptrick  pitch-adaptive Hanning windowing (3 T0), 2f0/3 rectangular
               spectral smoothing, quefrency liftering with sinc recovery and
               the q1 = -0.15 compensation lifter.
@@ -134,8 +138,52 @@ def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
     # normalized autocorrelation at the candidate lag to confirm voicing.
     _, peak_r = _ncc_refine(x, f0, t, fs)
     f0[peak_r < 0.45] = 0.0
+    f0 = _subharmonic_fix(x, f0, t, fs, f0_floor)
     f0 = _remove_jumps(f0, allowed_range=0.18)
     return f0, t
+
+
+def _subharmonic_fix(x, f0, temporal_positions, fs, f0_floor,
+                     max_div=6, improvement=0.12):
+    """Harmonic (octave-up) error correction.
+
+    If the estimate locked onto the k-th harmonic, the NCC at the TRUE
+    (longer) period k*T0_est is substantially HIGHER than at T0_est (which
+    is not a real period of the signal).  A correct estimate already sits at
+    an NCC maximum, so requiring a clear improvement (not mere equality —
+    any multiple of a true period also correlates ~1) avoids demoting
+    correct frames to subharmonics."""
+    x = np.asarray(x, dtype=np.float64)
+    out = f0.copy()
+    for i, (f, tc) in enumerate(zip(f0, temporal_positions)):
+        if f <= 0:
+            continue
+        divs = [k for k in range(2, max_div + 1) if f / k >= f0_floor]
+        if not divs:
+            continue
+        T0max = fs / (f / max(divs))
+        half = int(1.2 * T0max)
+        c = int(tc * fs)
+        lo, hi = max(0, c - half), min(len(x), c + half)
+        seg = x[lo:hi]
+        seg = seg - seg.mean()
+
+        def ncc(lag):
+            if lag < 2 or lag >= len(seg) - 1:
+                return -1.0
+            a, b = seg[:-lag], seg[lag:]
+            d = np.sqrt(max(1e-12, np.dot(a, a) * np.dot(b, b)))
+            return np.dot(a, b) / d
+
+        r1 = ncc(int(round(fs / f)))
+        best_k, best_r = 1, r1
+        for k in divs:
+            rk = ncc(int(round(k * fs / f)))
+            if rk > best_r:
+                best_k, best_r = k, rk
+        if best_k > 1 and best_r > r1 + improvement and best_r > 0.5:
+            out[i] = f / best_k
+    return out
 
 
 def _remove_jumps(f0, allowed_range=0.18, min_run=3):
@@ -213,18 +261,141 @@ def stonemask(x, f0, temporal_positions, fs):
     return refined
 
 
-def harvest(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
-            frame_period=DEFAULT_FRAME_PERIOD):
-    """Denser-channel DIO + stonemask refinement.
+def _candidate_map(x, fs, f0_floor, f0_ceil, frame_times,
+                   channels_in_octave):
+    """Per-channel interval-based F0 candidates with stability scores.
 
-    Capability-equivalent stand-in for WORLD's harvest (the reference selects
-    it via use_harvest=True, prepare_features_tts.py:111-115); returns the
-    same (f0, t) contract.  Deviation documented in the module docstring.
-    """
-    f0, t = dio(x, fs, f0_floor, f0_ceil, frame_period,
-                channels_in_octave=4.0, allowed_range=0.12)
-    f0 = stonemask(x, f0, t, fs)
+    Returns (cands, scores): (n_ch, T) arrays; score = relative dispersion
+    of the four interval estimates (lower = more periodic), inf where the
+    channel produced nothing usable."""
+    n_ch = int(np.ceil(np.log2(f0_ceil / f0_floor)
+                       * channels_in_octave)) + 1
+    boundary_f0s = f0_floor * 2.0 ** (np.arange(1, n_ch + 1)
+                                      / channels_in_octave)
+    T = len(frame_times)
+    cands = np.zeros((n_ch, T))
+    scores = np.full((n_ch, T), np.inf)
+    for ci, bf0 in enumerate(boundary_f0s):
+        filtered = _lowpass_fir(x, fs, bf0)
+        tracks = _interval_candidates(filtered, fs, frame_times)
+        valid = (tracks > 0).all(axis=0)
+        mean_f0 = tracks.mean(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = tracks.std(axis=0) / np.maximum(mean_f0, 1e-9)
+        in_band = (mean_f0 > max(f0_floor, bf0 / 4)) & (mean_f0 < bf0) \
+            & (mean_f0 < f0_ceil)
+        ok = valid & in_band
+        cands[ci, ok] = mean_f0[ok]
+        scores[ci, ok] = score[ok]
+    return cands, scores
+
+
+def _select_from_candidates(contour, cands, scores, i, rel=0.18):
+    """Best candidate at frame i within ``rel`` of ``contour`` (Hz value);
+    returns 0.0 if none."""
+    ref = contour
+    col = cands[:, i]
+    ok = (col > 0) & (np.abs(col - ref) / max(ref, 1e-9) <= rel)
+    if not ok.any():
+        return 0.0
+    j = np.argmin(np.where(ok, scores[:, i], np.inf))
+    return float(col[j])
+
+
+def harvest(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
+            frame_period=DEFAULT_FRAME_PERIOD, channels_in_octave=8.0,
+            allowed_range=0.12):
+    """Harvest-style F0 estimation: dense candidate map + contour growing.
+
+    Follows the structure of Morise's Harvest (implemented from the paper,
+    not ported): (1) a dense multi-channel candidate map with per-candidate
+    stability scores; (2) a base contour from the best-scoring stable
+    candidates, NCC-gated for voicing; (3) contour FIXING — voiced segments
+    are split at >18% jumps, short segments dropped, and each segment is
+    EXTENDED forward/backward through unstable regions by re-selecting, at
+    each neighbor frame, the candidate closest to the segment edge value
+    (this is what rescues onset/offset frames whose best raw candidate is a
+    harmonic); (4) NCC refinement constrained around the fixed contour.
+    Returns the pyworld (f0, temporal_positions) contract
+    (prepare_features_tts.py:111-115)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.mean()
+    hop_t = frame_period / 1000.0
+    n_frames = int(len(x) / fs / hop_t) + 1
+    t = np.arange(n_frames) * hop_t
+
+    cands, scores = _candidate_map(x, fs, f0_floor, f0_ceil, t,
+                                   channels_in_octave)
+
+    # base contour: best-scoring candidate per frame, stability-gated
+    best = np.argmin(scores, axis=0)
+    base = cands[best, np.arange(n_frames)]
+    base_score = scores[best, np.arange(n_frames)]
+    base[base_score > allowed_range] = 0.0
+    # periodicity gate (same rationale as dio)
+    _, peak_r = _ncc_refine(x, base, t, fs)
+    base[peak_r < 0.45] = 0.0
+    # harmonic-lock correction BEFORE contour fixing: a run that locked onto
+    # the k-th harmonic would otherwise survive as a self-consistent segment
+    base = _subharmonic_fix(x, base, t, fs, f0_floor)
+
+    # ---- contour fixing --------------------------------------------------
+    f0 = _remove_jumps(base, allowed_range=0.18, min_run=6)
+
+    # extension: grow each voiced segment through frames where SOME channel
+    # agrees with the contour, even if that frame's best candidate didn't
+    segs = _voiced_segments(f0)
+    ext = f0.copy()
+    for (a, b) in segs:
+        # backward from a-1
+        ref = f0[a]
+        i = a - 1
+        while i >= 0 and ext[i] == 0:
+            c = _select_from_candidates(ref, cands, scores, i)
+            if c <= 0:
+                break
+            ext[i] = c
+            ref = c
+            i -= 1
+        # forward from b
+        ref = f0[b - 1]
+        i = b
+        while i < n_frames and ext[i] == 0:
+            c = _select_from_candidates(ref, cands, scores, i)
+            if c <= 0:
+                break
+            ext[i] = c
+            ref = c
+            i += 1
+
+    # extended frames must still look periodic (NCC voicing confirmation)
+    grown = (ext > 0) & (f0 == 0)
+    if grown.any():
+        probe = np.where(grown, ext, 0.0)
+        _, r_ext = _ncc_refine(x, probe, t, fs)
+        ext[grown & (r_ext < 0.45)] = 0.0
+
+    f0 = _remove_jumps(ext, allowed_range=0.18, min_run=3)
+
+    # ---- refinement around the fixed contour ------------------------------
+    f0, _ = _ncc_refine(x, f0, t, fs)
     return f0, t
+
+
+def _voiced_segments(f0):
+    """[(start, end)) index pairs of voiced runs."""
+    segs = []
+    i, T = 0, len(f0)
+    while i < T:
+        if f0[i] == 0:
+            i += 1
+            continue
+        j = i
+        while j < T and f0[j] > 0:
+            j += 1
+        segs.append((i, j))
+        i = j
+    return segs
 
 
 # ---------------------------------------------------------------------------

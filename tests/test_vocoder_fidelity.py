@@ -1,0 +1,60 @@
+"""Vocoder fidelity regression gates (VERDICT round-1 item 4).
+
+Runs the copy-synthesis benchmark (tools/copy_synthesis_bench.py) on a
+reduced workload and asserts the checked-in vocoder_fidelity.json
+quality levels hold (with margin).  Ground truth is synthetic speech with
+known f0/vuv/formants, so this catches regressions in dio/harvest/
+stonemask/cheaptrick/d4c/synthesize without needing a speech corpus.
+"""
+
+import os
+import sys
+from os.path import dirname
+
+import numpy as np
+
+REPO = dirname(dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from copy_synthesis_bench import (  # noqa: E402
+    FS,
+    f0_metrics,
+    make_utterance,
+    mcd,
+)
+
+from gantts_tpu.frontend import world  # noqa: E402
+
+
+def test_harvest_f0_accuracy():
+    x, f0_true, vuv = make_utterance(0)
+    f0, t = world.harvest(x, FS)
+    m = f0_metrics(f0, f0_true, vuv)
+    assert m["f0_rmse_hz"] < 20.0, m
+    assert m["gross_error_rate"] < 0.02, m
+    assert m["vuv_error_core"] < 0.12, m
+
+
+def test_dio_stonemask_f0_accuracy():
+    x, f0_true, vuv = make_utterance(0)
+    f0, t = world.dio(x, FS)
+    f0 = world.stonemask(x, f0, t, FS)
+    m = f0_metrics(f0, f0_true, vuv)
+    assert m["gross_error_rate"] < 0.05, m
+    assert m["vuv_error_core"] < 0.15, m
+
+
+def test_copy_synthesis_mcd_and_aperiodicity():
+    x, f0_true, vuv = make_utterance(1)
+    f0, t = world.harvest(x, FS)
+    sp = world.cheaptrick(x, f0, t, FS)
+    ap = world.d4c(x, f0, t, FS)
+    y = world.synthesize(f0, sp, ap, FS)
+    assert mcd(x, y) < 4.0
+
+    n = min(len(f0), len(vuv))
+    v = (f0[:n] > 0) & vuv[:n]
+    uv = (f0[:n] == 0) & ~vuv[:n]
+    nb = ap.shape[1]
+    assert ap[:n][v][:, : nb // 4].mean() < 0.35
+    assert ap[:n][uv].mean() > 0.95

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Copy-synthesis fidelity benchmark for the in-repo WORLD-equivalent vocoder.
+
+Generates synthetic speech-like test signals with KNOWN ground truth (f0
+contour incl. vibrato + unvoiced segments, formant filter), runs the full
+analysis chain (f0 -> cheaptrick -> d4c), then:
+
+  * F0 accuracy:  RMSE (Hz, over co-voiced frames) + V/UV error rate of
+    dio+stonemask and harvest against the known contour;
+  * Copy-synthesis MCD: mel-cepstral distortion between the original and
+    the analysis->synthesis round trip (dB, c1..c24, co-analyzed);
+  * Spectral envelope error: mean abs log-spectral distance between
+    cheaptrick output and the known filter response over voiced frames.
+
+Writes vocoder_fidelity.json at the repo root (checked in; tests assert
+thresholds so regressions fail CI).
+
+usage: python tools/copy_synthesis_bench.py [--out vocoder_fidelity.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from os.path import dirname, join
+
+import numpy as np
+
+sys.path.insert(0, dirname(dirname(os.path.abspath(__file__))))
+
+FS = 16000
+HOP_S = 0.005
+
+
+def formant_filter(fs, formants=((730, 60), (1090, 80), (2440, 120))):
+    """Cascade of 2nd-order resonators (vowel-like envelope)."""
+    import scipy.signal
+
+    b_all, a_all = np.array([1.0]), np.array([1.0])
+    for fc, bw in formants:
+        r = np.exp(-np.pi * bw / fs)
+        theta = 2 * np.pi * fc / fs
+        a = np.array([1.0, -2 * r * np.cos(theta), r * r])
+        b = np.array([1.0 - r])
+        b_all = np.convolve(b_all, b)
+        a_all = np.convolve(a_all, a)
+    return b_all, a_all
+
+
+def make_utterance(seed, dur_s=1.2, base_f0=None):
+    """Speech-like signal: voiced (pulse train + vibrato through formants)
+    and unvoiced (filtered noise) segments.  Returns (x, f0_true, vuv_true)
+    at 5 ms frames."""
+    import scipy.signal
+
+    rs = np.random.RandomState(seed)
+    n = int(dur_s * FS)
+    tt = np.arange(n) / FS
+    n_frames = int(dur_s / HOP_S) + 1
+    ft = np.arange(n_frames) * HOP_S
+
+    if base_f0 is None:
+        base_f0 = rs.uniform(100, 240)
+    # f0 contour: slow declination + vibrato
+    f0_c = base_f0 * (1.0 - 0.15 * ft / dur_s) \
+        * (1.0 + 0.02 * np.sin(2 * np.pi * 5.0 * ft))
+
+    # voicing pattern: 3 voiced islands separated by unvoiced/silence
+    vuv = np.zeros(n_frames, bool)
+    pos = 0.08
+    while pos < dur_s - 0.15:
+        seg = rs.uniform(0.15, 0.3)
+        a, b = int(pos / HOP_S), int(min(dur_s, pos + seg) / HOP_S)
+        vuv[a:b] = True
+        pos += seg + rs.uniform(0.06, 0.15)
+
+    f0_true = np.where(vuv, f0_c, 0.0)
+
+    # sample-level excitation
+    f0_samp = np.interp(tt, ft, f0_c)
+    v_samp = np.interp(tt, ft, vuv.astype(float)) > 0.5
+    phase = np.cumsum(2 * np.pi * f0_samp / FS)
+    # band-limited pulse train: sum of harmonics below 0.45*fs
+    exc = np.zeros(n)
+    max_h = int(0.45 * FS / base_f0)
+    for h in range(1, max_h + 1):
+        exc += np.sin(phase * h) / np.sqrt(h)
+    exc *= v_samp
+    exc += 0.03 * rs.randn(n)               # breath noise everywhere
+    exc += 0.25 * rs.randn(n) * (~v_samp)   # unvoiced excitation
+
+    b, a = formant_filter(FS)
+    x = scipy.signal.lfilter(b, a, exc)
+    x = x / np.abs(x).max() * 0.6
+    return x, f0_true, vuv
+
+def f0_metrics(f0_est, f0_true, vuv_true, edge_tol=2):
+    n = min(len(f0_est), len(f0_true))
+    f0_est, f0_true, vuv_true = f0_est[:n], f0_true[:n], vuv_true[:n]
+    vuv_est = f0_est > 0
+    vuv_err = float(np.mean(vuv_est != vuv_true))
+    # core V/UV error: frames more than edge_tol frames from a true V/UV
+    # boundary (the analysis window inherently blurs +-2 frames at 5 ms hop)
+    edges = np.where(np.diff(vuv_true.astype(int)) != 0)[0]
+    core = np.ones(n, bool)
+    for e in edges:
+        core[max(0, e - edge_tol + 1): e + edge_tol + 1] = False
+    vuv_core = float(np.mean(vuv_est[core] != vuv_true[core])) \
+        if core.any() else float("nan")
+    both = vuv_est & vuv_true
+    if both.sum() == 0:
+        return dict(f0_rmse_hz=float("nan"), vuv_error=vuv_err,
+                    vuv_error_core=vuv_core, gross_error_rate=1.0)
+    d = f0_est[both] - f0_true[both]
+    gross = float(np.mean(np.abs(d) / f0_true[both] > 0.2))
+    return dict(f0_rmse_hz=float(np.sqrt(np.mean(d ** 2))),
+                vuv_error=vuv_err, vuv_error_core=vuv_core,
+                gross_error_rate=gross)
+
+
+def mcd(x, y, order=24):
+    """Mel-cepstral distortion (dB) between two waveforms, co-analyzed
+    frame-by-frame (c1..c_order)."""
+    from gantts_tpu.frontend import sptk, world
+
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    f0x, tx = world.dio(x, FS)
+    spx = world.cheaptrick(x, f0x, tx, FS)
+    spy = world.cheaptrick(y, f0x, tx, FS)  # same time grid
+    alpha = sptk.mcepalpha(FS)
+    mcx = sptk.sp2mc(spx, order=order, alpha=alpha)
+    mcy = sptk.sp2mc(spy, order=order, alpha=alpha)
+    d = mcx[:, 1:] - mcy[:, 1:]
+    return float(10.0 / np.log(10.0) * np.sqrt(2.0)
+                 * np.mean(np.sqrt(np.sum(d ** 2, axis=1))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=join(dirname(dirname(
+        os.path.abspath(__file__))), "vocoder_fidelity.json"))
+    p.add_argument("--n", type=int, default=6)
+    args = p.parse_args()
+
+    from gantts_tpu.frontend import world
+
+    agg = {"dio": [], "harvest": []}
+    mcds = []
+    env_errs = []
+    ap_voiced_lo, ap_unvoiced = [], []
+    for seed in range(args.n):
+        x, f0_true, vuv_true = make_utterance(seed)
+
+        f0_d, t = world.dio(x, FS)
+        f0_d = world.stonemask(x, f0_d, t, FS)
+        agg["dio"].append(f0_metrics(f0_d, f0_true, vuv_true))
+
+        f0_h, th = world.harvest(x, FS)
+        agg["harvest"].append(f0_metrics(f0_h, f0_true, vuv_true))
+
+        # copy synthesis with the harvest track
+        sp = world.cheaptrick(x, f0_h, th, FS)
+        ap = world.d4c(x, f0_h, th, FS)
+        y = world.synthesize(f0_h, sp, ap, FS)
+        mcds.append(mcd(x, y))
+
+        # aperiodicity sanity: harmonically-dominated voiced low band must
+        # read (mostly) periodic, unvoiced frames fully aperiodic
+        nn = min(len(f0_h), len(vuv_true))
+        v = (f0_h[:nn] > 0) & vuv_true[:nn]
+        uv = (f0_h[:nn] == 0) & ~vuv_true[:nn]
+        nb = ap.shape[1]
+        if v.any():
+            ap_voiced_lo.append(float(ap[:nn][v][:, : nb // 4].mean()))
+        if uv.any():
+            ap_unvoiced.append(float(ap[:nn][uv].mean()))
+
+        # envelope accuracy on voiced frames vs known formant response
+        import scipy.signal
+
+        b, a = formant_filter(FS)
+        n_bins = sp.shape[1]
+        w, resp = scipy.signal.freqz(b, a, worN=n_bins, fs=FS)
+        filt_env = np.abs(resp) ** 2
+        voiced = np.where(f0_h[: len(vuv_true)] > 0)[0]
+        if len(voiced) > 3:
+            errs = []
+            for i in voiced:
+                fi = f0_h[i]
+                # the synthetic excitation puts power ~1/h at harmonic h, so
+                # the TRUE spectral envelope is |H(f)|^2 * (fi / f); compare
+                # over the formant region (300 Hz - 4 kHz) where harmonics
+                # dominate the breath-noise floor, per-frame gain removed
+                # (shape error only).
+                tilt = fi / np.maximum(w, fi)
+                true_env = filt_env * tilt
+                lo = int(300 / (FS / 2) * (n_bins - 1))
+                hi = int(4000 / (FS / 2) * (n_bins - 1))
+                d = (10 * np.log10(sp[i, lo:hi] + 1e-12)
+                     - 10 * np.log10(true_env[lo:hi] + 1e-12))
+                d = d - d.mean()
+                errs.append(np.abs(d).mean())
+            env_errs.append(float(np.mean(errs)))
+
+    def avg(rows, key):
+        vals = [r[key] for r in rows if np.isfinite(r[key])]
+        return round(float(np.mean(vals)), 4) if vals else None
+
+    result = {
+        "workload": f"{args.n} synthetic utterances, fs={FS}, 5ms hop",
+        "dio_stonemask": {k: avg(agg["dio"], k) for k in
+                          ("f0_rmse_hz", "vuv_error", "vuv_error_core", "gross_error_rate")},
+        "harvest": {k: avg(agg["harvest"], k) for k in
+                    ("f0_rmse_hz", "vuv_error", "vuv_error_core", "gross_error_rate")},
+        "copy_synthesis_mcd_db": round(float(np.mean(mcds)), 4),
+        "envelope_lsd_db": round(float(np.mean(env_errs)), 4),
+        "d4c_voiced_lowband_ap": round(float(np.mean(ap_voiced_lo)), 4),
+        "d4c_unvoiced_ap": round(float(np.mean(ap_unvoiced)), 4),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
