@@ -21,11 +21,29 @@ matmul's own rounding noise.  ``unit_variance_mlpg_stencil`` is a drop-in
 replacement for ``unit_variance_mlpg`` on long-enough sequences
 (T >= 4W + 2); the dense path remains for short ones.
 
-Measured on v5e: the grouped-conv formulation is NOT yet faster than the
-dense matmul at speech-typical lengths (5.4 ms vs 1.0 ms at T=512, B=20,
-S=60 — depthwise group convs map poorly onto the MXU), so ``mlpg_impl``
-defaults to "dense"; the stencil path is the long-sequence/recompile-free
-option and the starting point for a Pallas fusion in a later round.
+The interior runs as a BLOCKED-TOEPLITZ dense matmul: 128-frame time
+blocks with a W-frame halo contracted against a precomputed
+(128, K, 128+2W) band matrix — large 128-aligned MXU matmuls, costing
+2*(128+2W)*K*S FLOPs per frame vs 2*3T*S for dense R (strictly less work
+past T ~= 176, and no O(T^2) R to build, ship, or store).  An earlier
+depthwise grouped-conv formulation lowered to VPU-bound per-channel
+convolutions and lost to dense 5x at T=512; the blocked matmul replaced it.
+
+Measured on v5e (B=20, S=60, f32 HIGHEST; axon timing variance ~20%):
+
+      T    dense ms   stencil ms   speedup    maxdiff
+    256       0.98        0.96       1.0x     3.6e-7
+    512       1.67        1.44       1.2x     4.8e-7
+   1024       1.24        0.98       1.3x     7.2e-7
+   2048       2.11        2.29       0.9x     7.2e-7
+   4096       5.71        1.49       3.8x     9.5e-7
+   8192       (dense R too large to compile)  stencil: 4.4 ms
+
+i.e. parity at speech-typical lengths, a clear win for long sequences,
+and the only option past T ~= 8k where the dense (T, 3T) R becomes
+impractical.  ``mlpg_impl="dense"`` stays the training default (R is cached
+per bucket and the matmul is not the step bottleneck); the stencil path is
+the long-sequence and recompile-free (dynamic-length) option.
 """
 
 from __future__ import annotations
@@ -42,9 +60,49 @@ from gantts_tpu.core.windows import unit_variance_mlpg_matrix
 DEFAULT_HALFWIDTH = 24
 
 
+BLOCK_T = 128  # time-block size for the blocked-Toeplitz interior matmul
+
+
 def _windows_key(windows):
     return tuple((int(l), int(u), tuple(np.asarray(c, dtype=np.float64)))
                  for l, u, c in windows)
+
+
+@lru_cache(maxsize=16)
+def _block_matrix(windows_key, halfwidth, block_t):
+    """(block_t, K, block_t + 2W) dense embed of the Toeplitz stencil:
+    M[a, k, c] = s_k[c - a - W] (0 outside the band).  T-independent."""
+    stencil, _, _ = _stencil_parts(windows_key, halfwidth)
+    K, width = stencil.shape
+    M = np.zeros((block_t, K, block_t + 2 * halfwidth), dtype=np.float32)
+    for a in range(block_t):
+        M[a, :, a: a + width] = stencil
+    return M
+
+
+def _interior_blocked(u, stencil_key, W, precision):
+    """Interior stencil product as a blocked-Toeplitz DENSE matmul.
+
+    u: (B, T, K, S).  Splits time into BLOCK_T-frame blocks with a W-frame
+    halo on each side and contracts each block against the precomputed
+    (BLOCK_T, K, BLOCK_T+2W) band matrix — large, 128-aligned MXU matmuls
+    instead of the depthwise grouped conv (which lowers to VPU-bound
+    per-channel convolutions and measured ~5x SLOWER than dense at T=512).
+    FLOPs: 2*(BLOCK_T+2W)*K*S per output frame vs 2*3T*S dense — past
+    T ~= 176 the blocked form does strictly less MXU work.
+    """
+    B, T, K, S = u.shape
+    Tb = BLOCK_T
+    n_blk = -(-T // Tb)
+    Tpad = n_blk * Tb
+    u_p = jnp.pad(u, ((0, 0), (W, Tpad - T + W), (0, 0), (0, 0)))
+    halo = Tb + 2 * W
+    blocks = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(u_p, i * Tb, halo, axis=1)
+         for i in range(n_blk)], axis=1)  # (B, n_blk, halo, K, S)
+    M = jnp.asarray(_block_matrix(stencil_key, W, Tb))
+    y = jnp.einsum("bnhks,tkh->bnts", blocks, M, precision=precision)
+    return y.reshape(B, Tpad, S)[:, :T]
 
 
 @lru_cache(maxsize=16)
@@ -87,27 +145,16 @@ def unit_variance_mlpg_stencil(means, windows, halfwidth=DEFAULT_HALFWIDTH,
     W = halfwidth
     if T < 4 * W + 2:
         raise ValueError(f"T={T} too short for stencil MLPG (need >= {4*W+2})")
-    stencil, top, bot = _stencil_parts(_windows_key(windows), W)
-    stencil = jnp.asarray(stencil)
+    key = _windows_key(windows)
+    _, top, bot = _stencil_parts(key, W)
     top = jnp.asarray(top)
     bot = jnp.asarray(bot)
     C = 2 * W
 
     u = means.reshape(B, T, K, S)
 
-    # ---- interior: depthwise conv over time, summed over windows ----------
-    # lhs (B*S*K, 1, T) grouped so each (s, k) channel convolves with s_k.
-    lhs = u.transpose(0, 3, 2, 1).reshape(B, S * K, T)
-    # rhs: output channel (s) sums its K input channels with kernel s_k.
-    # conv kernel layout (out_channels=S, in_per_group=K, width)
-    rhs = jnp.broadcast_to(stencil[None, :, :], (S, K, 2 * W + 1))
-    # XLA's conv_general_dilated computes cross-correlation (no kernel
-    # flip), which is exactly sum_j s_k[j] u[t+j] with w = j + W.
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(W, W)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=S, precision=precision)
-    y = y.transpose(0, 2, 1)  # (B, T, S)
+    # ---- interior: blocked-Toeplitz dense matmul (MXU-shaped) -------------
+    y = _interior_blocked(u, key, W, precision)
 
     # ---- exact boundaries --------------------------------------------------
     # y_top = sum_k u_k[:, :C] @ top_k^T : (B, C, S) x (W, C) -> (B, W, S)
@@ -126,11 +173,15 @@ class MLPGStencil(flax.struct.PyTreeNode):
     boundary blocks; one jitted program then serves EVERY utterance length
     (the boundary rows are placed at the true length with dynamic slices),
     eliminating the per-length recompiles of exact-R evaluation.
+
+    ``windows_key`` is static (not a pytree leaf) so the blocked interior
+    matrix can be built host-side even when the operator itself is traced.
     """
 
     stencil: jnp.ndarray   # (K, 2W+1)
     top: jnp.ndarray       # (K, W, C)
     bot: jnp.ndarray       # (K, W, C)
+    windows_key: tuple = flax.struct.field(pytree_node=False, default=None)
 
     @property
     def halfwidth(self):
@@ -138,9 +189,10 @@ class MLPGStencil(flax.struct.PyTreeNode):
 
     @classmethod
     def create(cls, windows, halfwidth=DEFAULT_HALFWIDTH):
-        stencil, top, bot = _stencil_parts(_windows_key(windows), halfwidth)
+        key = _windows_key(windows)
+        stencil, top, bot = _stencil_parts(key, halfwidth)
         return cls(stencil=jnp.asarray(stencil), top=jnp.asarray(top),
-                   bot=jnp.asarray(bot))
+                   bot=jnp.asarray(bot), windows_key=key)
 
 
 def unit_variance_mlpg_dynamic(op: MLPGStencil, means, lengths,
@@ -168,14 +220,8 @@ def unit_variance_mlpg_dynamic(op: MLPGStencil, means, lengths,
 
     u = means.reshape(B, Tp, K, S)
 
-    # interior conv (same formulation as unit_variance_mlpg_stencil)
-    lhs = u.transpose(0, 3, 2, 1).reshape(B, S * K, Tp)
-    rhs = jnp.broadcast_to(op.stencil[None, :, :], (S, K, 2 * W + 1))
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(W, W)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=S, precision=precision)
-    y = y.transpose(0, 2, 1)  # (B, Tp, S)
+    # interior: blocked-Toeplitz matmul (same math as the static-shape path)
+    y = _interior_blocked(u, op.windows_key, W, precision)
 
     # exact top boundary (static position)
     y_top = jnp.einsum("bcks,kwc->bws", u[:, :C], op.top,
