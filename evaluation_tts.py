@@ -44,6 +44,14 @@ def main(argv=None):
     p.add_argument("--disable-duraton-gen", dest="disable_duration_gen",
                    action="store_true")
     p.add_argument("--post-filter", dest="post_filter", action="store_true")
+    p.add_argument("--true-variance-mlpg", dest="true_variance_mlpg",
+                   action="store_true",
+                   help="MLPG with the training-set variances on the "
+                        "denormalized features instead of the MGE-mode "
+                        "unit-variance MLPG on normalized features "
+                        "(capability addition: the reference implements "
+                        "this path, evaluation_tts.py:84-98, but never "
+                        "exposes a flag for it)")
     p.add_argument("--hparams_acoustic", default="")
     p.add_argument("--hparams_duration", default="")
     args = p.parse_args(argv)
@@ -92,6 +100,7 @@ def main(argv=None):
     eval_files = get_lab_files(args.data_dir, args.labels_dir, test=False)
     test_files = get_lab_files(args.data_dir, args.labels_dir, test=True)
 
+    generated_mgc = []
     for dst_dir, files in [(eval_dir, eval_files), (test_dir, test_files)]:
         for label_path in files:
             print(dst_dir, label_path)
@@ -100,9 +109,22 @@ def main(argv=None):
                 models, variables, label_path, X_min, X_max, Y_mean, Y_std,
                 hp_duration, hp_acoustic, binary_dict, continuous_dict,
                 apply_duration_model=not args.disable_duration_gen,
-                post_filter=args.post_filter, fs=args.fs)
+                post_filter=args.post_filter, fs=args.fs,
+                mge_training=not args.true_variance_mlpg)
+            generated_mgc.append(np.asarray(mgc))
             wavfile.write(join(dst_dir, name + ".wav"), args.fs,
                           waveform.astype(np.int16))
+
+    # GV / modulation-spectrum quality report (reference notebook analyses
+    # as machine-checkable eval output; see evaluation_vc.py).
+    from evaluation_vc import write_analysis_report
+
+    K = len(hp_acoustic.windows)
+    write_analysis_report(
+        join(args.outputs_dir, "analysis.json"), generated_mgc,
+        natural_dir=join(args.data_dir, "Y_acoustic"),
+        static_dim=hp_acoustic.stream_sizes[0] // K,
+        modfs=1000.0 / hp_acoustic.frame_period)
     return 0
 
 

@@ -70,20 +70,67 @@ def main(argv=None):
     eval_files = get_wav_files(args.data_dir, args.wav_dir, test=False)
     test_files = get_wav_files(args.data_dir, args.wav_dir, test=True)
 
+    generated_feats = []
     for dst_dir, files in [(eval_dir, eval_files), (test_dir, test_files)]:
         for path in files:
             print(dst_dir, path)
             name = splitext(basename(path))[0]
             fs, x = wavfile.read(path)
-            waveform, _, _ = vc_from_waveform(
+            waveform, _, outputs = vc_from_waveform(
                 model, params, x.astype(np.float64), fs, data_mean, data_std,
                 hp, diffvc=args.diffvc)
+            generated_feats.append(np.asarray(outputs))
             peak = np.max(np.abs(waveform))
             if peak > 32767:
                 waveform = waveform / peak * 32767 * 0.99
             wavfile.write(join(dst_dir, name + ".wav"), fs,
                           waveform.astype(np.int16))
+
+    # GV / modulation-spectrum report (the reference publishes these as
+    # notebook plots, notebooks/Test VC.ipynb; here they are first-class
+    # eval output so quality evidence is machine-checkable).
+    write_analysis_report(
+        join(args.outputs_dir, "analysis.json"), generated_feats,
+        natural_dir=join(args.data_dir, "Y"), static_dim=hp.order,
+        modfs=1000.0 / hp.frame_period)
     return 0
+
+
+def write_analysis_report(path, generated, natural_dir, static_dim, modfs):
+    """GV + modulation-spectrum comparison of generated statics vs the
+    natural training targets (utils/analysis.py cores)."""
+    import json
+
+    from gantts_tpu.utils.analysis import global_variance, modulation_spectrum
+
+    report = {}
+    if generated:
+        gen = [g[:, :static_dim] for g in generated]
+        report["gv_generated_mean"] = float(
+            np.mean(global_variance(gen)))
+        freqs, ms = modulation_spectrum(gen, modfs)
+        hi = (freqs >= 25.0) & (freqs <= 50.0)
+        report["modspec_generated_hi_band_db"] = float(
+            10.0 / np.log(10.0) * np.mean(ms[hi]))
+    try:
+        from glob import glob
+
+        nat = [np.load(f)[:, :static_dim]
+               for f in sorted(glob(join(natural_dir, "*.npy")))[:50]]
+        if nat:
+            report["gv_natural_mean"] = float(np.mean(global_variance(nat)))
+            freqs, ms = modulation_spectrum(nat, modfs)
+            hi = (freqs >= 25.0) & (freqs <= 50.0)
+            report["modspec_natural_hi_band_db"] = float(
+                10.0 / np.log(10.0) * np.mean(ms[hi]))
+            if "gv_generated_mean" in report:
+                report["gv_ratio"] = (report["gv_generated_mean"]
+                                      / max(report["gv_natural_mean"], 1e-30))
+    except (OSError, ValueError):
+        pass
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print("analysis ->", path, report)
 
 
 if __name__ == "__main__":

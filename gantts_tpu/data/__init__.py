@@ -16,7 +16,16 @@ stack (train.py:71-159, 174-229) with a plain NumPy pipeline shaped for XLA:
     (new, TPU-motivated): XLA compiles one program per shape, so padded
     lengths are quantized to keep the compilation count bounded, and the
     trailing partial batch is padded with zero-length rows instead of
-    changing the batch dimension.  Masked losses make both paddings inert.
+    changing the batch dimension.  Masked losses make both paddings inert
+    for every per-frame term.  One caveat: MLPG is a global banded solve,
+    so zero-padding perturbs y_hat_static in the last few VALID frames of
+    each utterance (the boundary response decays ~0.27x per frame; ~1e-2
+    at the final frame).  The reference has the same approximation for
+    every utterance shorter than its batch max (it pads to batch max,
+    train.py:145-159); bucketing merely extends it to the batch-longest
+    utterance.  Training is insensitive to it; EVALUATION is not, which is
+    why eval paths use exact-length or dynamic-boundary MLPG
+    (synthesis.py, core/fast_mlpg.MLPGStencil).
 """
 
 from __future__ import annotations

@@ -98,3 +98,22 @@ def test_tts_train_and_eval_default_config(tts_run, tmp_path):
     assert fs == 16000 and len(w) > fs // 10  # >100 ms of audio
     assert np.isfinite(w.astype(np.float64)).all()
     assert np.abs(w).max() > 0
+
+    # GV / modulation-spectrum quality report written alongside the audio
+    with open(join(out, "analysis.json")) as f:
+        report = json.load(f)
+    assert "gv_generated_mean" in report and "gv_natural_mean" in report
+    assert np.isfinite(report["gv_ratio"])
+
+    # true-variance MLPG path (capability flag the reference lacks)
+    out2 = str(tmp_path / "synth_tv")
+    _run([join(REPO, "evaluation_tts.py"),
+          join(ck_ac, "checkpoint_epoch1_Generator.pth"),
+          join(ck_dur, "checkpoint_epoch1_Generator.pth"),
+          feats, join(root, "label_state_align"), out2,
+          "--true-variance-mlpg", "--post-filter",
+          f"--hparams_acoustic=nepoch=1,{SMALL_SRU},{SMALL_D}",
+          f"--hparams_duration=nepoch=1,{SMALL_SRU},{SMALL_D}"])
+    wavs2 = glob(join(out2, "eval", "*.wav")) + glob(join(out2, "test",
+                                                          "*.wav"))
+    assert len(wavs2) == len(wavs)
