@@ -189,6 +189,8 @@ def linear_recurrence_pallas(f, b):
 
 def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
                       u_ref, len_ref, h_ref, c_ref, cp_ref, carry_ref):
+    # I/O may be bf16 (u, h follow the compute dtype); all math runs f32 in
+    # registers, and the recurrence state (c, cp, carry) is always f32.
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -198,21 +200,23 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
     lv = len_ref[...]  # (B, H) float: per-row valid length
     H = carry_ref.shape[-1]
     block = (n_chunks - 1 - t) if rev else t
+    f32 = jnp.float32
 
     def body(i, c):
         j = (chunk - 1 - i) if rev else i
         s = block * chunk + j  # global time index
-        m = (s < lv).astype(c.dtype)
-        x_t = u_ref[j, :, 0:H]
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H])
+        m = (s < lv).astype(f32)
+        x_t = u_ref[j, :, 0:H].astype(f32)
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32))
         fm = f * m + (1.0 - m)
         bm = (1.0 - f) * x_t * m
         cp_ref[j] = c
         c = fm * c + bm
         c_ref[j] = c
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H])
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32))
         g = jnp.maximum(c, 0.0) if use_relu else jnp.tanh(c)
-        h_ref[j] = (r * g + (1.0 - r) * u_ref[j, :, 3 * H:4 * H]) * m
+        x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
+        h_ref[j] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
         return c
 
     carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
@@ -233,30 +237,34 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
     lv = len_ref[...]
     H = ghat_ref.shape[-1]
     block = (n_chunks - 1 - t) if rev else t
+    f32 = jnp.float32
 
     def body(i, carry):
         ghat, fm_next = carry
         j = (chunk - 1 - i) if rev else i
         s = block * chunk + j
-        m = (s < lv).astype(ghat.dtype)
-        x_t = u_ref[j, :, 0:H]
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H])
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H])
-        x_p = u_ref[j, :, 3 * H:4 * H]
+        m = (s < lv).astype(f32)
+        x_t = u_ref[j, :, 0:H].astype(f32)
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32))
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32))
+        x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
         c = c_ref[j]
         cp = cp_ref[j]
         if use_relu:
             g = jnp.maximum(c, 0.0)
-            gp = (c > 0.0).astype(ghat.dtype)
+            gp = (c > 0.0).astype(f32)
         else:
             g = jnp.tanh(c)
             gp = 1.0 - g * g
-        gh = gh_ref[j]
+        gh = gh_ref[j].astype(f32)
         ghat = gh * m * r * gp + fm_next * ghat
-        du_ref[j, :, 0:H] = ghat * (1.0 - f) * m
-        du_ref[j, :, H:2 * H] = m * ghat * (cp - x_t) * f * (1.0 - f)
-        du_ref[j, :, 2 * H:3 * H] = gh * m * (g - x_p) * r * (1.0 - r)
-        du_ref[j, :, 3 * H:4 * H] = gh * (1.0 - r) * m
+        od = du_ref.dtype
+        du_ref[j, :, 0:H] = (ghat * (1.0 - f) * m).astype(od)
+        du_ref[j, :, H:2 * H] = (m * ghat * (cp - x_t)
+                                 * f * (1.0 - f)).astype(od)
+        du_ref[j, :, 2 * H:3 * H] = (gh * m * (g - x_p)
+                                     * r * (1.0 - r)).astype(od)
+        du_ref[j, :, 3 * H:4 * H] = (gh * (1.0 - r) * m).astype(od)
         fm_next = f * m + (1.0 - m)
         return ghat, fm_next
 
@@ -277,17 +285,20 @@ def _fused_specs(T, B, H, chunk, rev):
     return u_spec, h_spec, len_spec, n_chunks
 
 
-_FUSED_VMEM_BUDGET = 10 * 1024 * 1024  # scoped-vmem limit is 16 MB; leave room
+_FUSED_VMEM_BUDGET = 12 * 1024 * 1024  # scoped-vmem limit is 16 MB; leave room
 
 
-def _fused_chunk(B, H, h_blocks):
+def _fused_chunk(B, H, per_h_bytes):
     """Largest power-of-two chunk fitting the pipeline in scoped VMEM.
 
-    ``h_blocks`` counts H-wide block unitss held per grid step: forward has
-    u(4) + h/c/cp(3) = 7; backward has u(4) + c/cp/gh(3) + du(4) = 11.
-    Everything is double-buffered (x2)."""
+    ``per_h_bytes`` sums the bytes of all H-wide blocks held per timestep:
+    forward has u (4 lanes of the u itemsize) + h (u itemsize) + c + cp
+    (f32); backward adds gh and the 4-lane du.  Everything is
+    double-buffered (x2).  Bigger chunks = fewer grid steps on the serial
+    scan; bf16 I/O doubles the feasible chunk.
+    """
     chunk = _MAX_CHUNK
-    while chunk > 1 and 2 * chunk * B * h_blocks * H * 4 > _FUSED_VMEM_BUDGET:
+    while chunk > 1 and 2 * chunk * B * H * per_h_bytes > _FUSED_VMEM_BUDGET:
         chunk //= 2
     return chunk
 
@@ -295,20 +306,23 @@ def _fused_chunk(B, H, h_blocks):
 def _fused_fwd_call(u, len_bc, rev, use_relu):
     T, B, H4 = u.shape
     H = H4 // 4
-    chunk = _fused_chunk(B, H, 7)
+    su = jnp.dtype(u.dtype).itemsize
+    chunk = _fused_chunk(B, H, 4 * su + su + 4 + 4)
     assert T % chunk == 0
     u_spec, h_spec, len_spec, n_chunks = _fused_specs(T, B, H, chunk, rev)
     from functools import partial
 
     kern = partial(_fused_fwd_kernel, rev, use_relu, chunk, n_chunks)
-    out_shape = [jax.ShapeDtypeStruct((T, B, H), u.dtype)] * 3
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), u.dtype),
+                 jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+                 jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=[u_spec, len_spec],
         out_specs=[h_spec, h_spec, h_spec],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, H), u.dtype)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=not _on_tpu(),
     )(u, len_bc)
 
@@ -316,7 +330,9 @@ def _fused_fwd_call(u, len_bc, rev, use_relu):
 def _fused_bwd_call(u, len_bc, c, cp, gh, rev_layer, use_relu):
     T, B, H4 = u.shape
     H = H4 // 4
-    chunk = _fused_chunk(B, H, 11)
+    su = jnp.dtype(u.dtype).itemsize
+    sg = jnp.dtype(gh.dtype).itemsize
+    chunk = _fused_chunk(B, H, 4 * su + 4 + 4 + sg + 4 * su)
     rev = not rev_layer  # traverse opposite to the forward direction
     u_spec, h_spec, len_spec, n_chunks = _fused_specs(T, B, H, chunk, rev)
     from functools import partial
@@ -328,8 +344,8 @@ def _fused_bwd_call(u, len_bc, c, cp, gh, rev_layer, use_relu):
         in_specs=[u_spec, len_spec, h_spec, h_spec, h_spec],
         out_specs=[u_spec],
         out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), u.dtype)],
-        scratch_shapes=[pltpu.VMEM((B, H), u.dtype),
-                        pltpu.VMEM((B, H), u.dtype)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
         interpret=not _on_tpu(),
     )(u, len_bc, c, cp, gh)[0]
 

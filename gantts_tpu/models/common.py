@@ -22,37 +22,46 @@ def torch_uniform_init(bound):
     return init
 
 
-@jax.custom_vjp
-def _matmul_bf16(x, w):
-    return jnp.matmul(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+def _make_matmul_bf16(x_out_bf16):
+    """custom-vjp bf16 matmul with f32 accumulation.
+
+    The cotangent is cast to bf16 so BOTH backward matmuls (dgrad and
+    wgrad) also run on the bf16 MXU path — without this they silently
+    promote to f32 (f32 cotangent x bf16 operand) and the backward pass
+    stays at f32 throughput.  ``x_out_bf16`` statically selects the dx
+    dtype to match the primal x (the weight cotangent is always f32)."""
+
+    @jax.custom_vjp
+    def mm(x, w):
+        return jnp.matmul(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    def fwd(x, w):
+        x16 = x.astype(jnp.bfloat16)
+        w16 = w.astype(jnp.bfloat16)
+        y = jnp.matmul(x16, w16, preferred_element_type=jnp.float32)
+        return y, (x16, w16)
+
+    def bwd(res, g):
+        x16, w16 = res
+        g16 = g.astype(jnp.bfloat16)
+        dx = jnp.matmul(g16, jnp.swapaxes(w16, -1, -2),
+                        preferred_element_type=jnp.float32)
+        # wgrad sums over all leading (batch/time) axes: reshape to 2-D.
+        k = w16.shape[-2]
+        x2 = x16.reshape(-1, k)
+        g2 = g16.reshape(-1, g16.shape[-1])
+        dw = jnp.matmul(x2.T, g2, preferred_element_type=jnp.float32)
+        if x_out_bf16:
+            dx = dx.astype(jnp.bfloat16)
+        return dx, dw.astype(jnp.float32)
+
+    mm.defvjp(fwd, bwd)
+    return mm
 
 
-def _matmul_bf16_fwd(x, w):
-    x16 = x.astype(jnp.bfloat16)
-    w16 = w.astype(jnp.bfloat16)
-    y = jnp.matmul(x16, w16, preferred_element_type=jnp.float32)
-    return y, (x16, w16)
-
-
-def _matmul_bf16_bwd(res, g):
-    # Cast the cotangent to bf16 so BOTH backward matmuls (dgrad and wgrad)
-    # also run on the bf16 MXU path — without this they silently promote to
-    # f32 (f32 cotangent x bf16 operand) and the backward pass stays at f32
-    # throughput.  Accumulation remains f32.
-    x16, w16 = res
-    g16 = g.astype(jnp.bfloat16)
-    dx = jnp.matmul(g16, jnp.swapaxes(w16, -1, -2),
-                    preferred_element_type=jnp.float32)
-    # wgrad sums over all leading (batch/time) axes: reshape to 2-D.
-    k = w16.shape[-2]
-    x2 = x16.reshape(-1, k)
-    g2 = g16.reshape(-1, g16.shape[-1])
-    dw = jnp.matmul(x2.T, g2, preferred_element_type=jnp.float32)
-    return dx.astype(jnp.float32), dw.astype(jnp.float32)
-
-
-_matmul_bf16.defvjp(_matmul_bf16_fwd, _matmul_bf16_bwd)
+_matmul_bf16 = _make_matmul_bf16(x_out_bf16=False)
+_matmul_bf16_x16 = _make_matmul_bf16(x_out_bf16=True)
 
 
 def matmul_cast(x, w, compute_dtype="float32"):
@@ -71,6 +80,8 @@ def matmul_cast(x, w, compute_dtype="float32"):
     if cd == jnp.float32:
         return x @ w
     if cd == jnp.bfloat16:
+        if x.dtype == jnp.bfloat16:
+            return _matmul_bf16_x16(x, w)
         return _matmul_bf16(x, w)
     return jnp.matmul(x.astype(cd), w.astype(cd),
                       preferred_element_type=jnp.float32)

@@ -106,9 +106,17 @@ class SRULayer(nn.Module):
         if k == 4 and kernels.default_use_pallas():
             zeros = jnp.zeros_like(bf)
             bias4 = jnp.concatenate([zeros, bf, br, zeros])
-            return kernels.fused_sru_layer(
+            cd = jnp.dtype(self.compute_dtype)
+            if cd == jnp.bfloat16:
+                # bf16 kernel I/O halves the dominant HBM traffic (u in, du
+                # out) and doubles the feasible scan chunk; the kernel's
+                # internal math and recurrence state remain f32.
+                u = u.astype(cd)
+                bias4 = bias4.astype(cd)
+            h = kernels.fused_sru_layer(
                 u + bias4, lengths, reverse=self.reverse,
                 use_relu=self.use_relu)
+            return h
 
         # ---- fallback: pure-JAX composition (flips for reverse) ----------
         mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x.dtype)

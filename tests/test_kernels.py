@@ -108,3 +108,39 @@ def test_fused_sru_layer_matches_fallback():
             scale = np.abs(g_ref).max()
             assert np.abs(g_fused - g_ref).max() < 1e-4 * max(scale, 1.0), \
                 (reverse, use_relu)
+
+
+def test_fused_sru_layer_bf16_io():
+    """bf16-I/O fused kernel (interpret mode) tracks the f32 path closely
+    for forward and gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_sru_layer
+
+    rs = np.random.RandomState(1)
+    T, B, H = 20, 2, 4
+    lengths = jnp.asarray(np.array([20, 11], np.int32))
+    u = jnp.asarray(rs.randn(T, B, 4 * H).astype(np.float32))
+
+    h32 = fused_sru_layer(u, lengths, reverse=False, use_relu=1)
+    h16 = fused_sru_layer(u.astype(jnp.bfloat16), lengths, reverse=False,
+                          use_relu=1)
+    assert h16.dtype == jnp.bfloat16
+    scale = float(jnp.abs(h32).max())
+    assert float(jnp.abs(h32 - h16.astype(jnp.float32)).max()) \
+        < 0.05 * max(scale, 1.0)
+
+    def loss16(u):
+        out = fused_sru_layer(u.astype(jnp.bfloat16), lengths,
+                              reverse=False, use_relu=1)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss32(u):
+        return jnp.sum(fused_sru_layer(u, lengths, reverse=False,
+                                       use_relu=1) ** 2)
+
+    g16 = np.asarray(jax.grad(loss16)(u))
+    g32 = np.asarray(jax.grad(loss32)(u))
+    gs = np.abs(g32).max()
+    assert np.abs(g16 - g32).max() < 0.08 * max(gs, 1.0)
