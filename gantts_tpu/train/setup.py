@@ -128,8 +128,11 @@ def prepare_tts(X, Y, utt_lengths, hp, data_dir):
 def init_models_and_states(hp, seed=1234):
     """Reflective model construction + optimizer/state init
     (train.py:773-799)."""
-    model_g = create_model(hp.generator, **hp.generator_params)
-    model_d = create_model(hp.discriminator, **hp.discriminator_params)
+    cd = getattr(hp, "compute_dtype", "float32")
+    model_g = create_model(hp.generator, compute_dtype=cd,
+                           **hp.generator_params)
+    model_d = create_model(hp.discriminator, compute_dtype=cd,
+                           **hp.discriminator_params)
 
     key = jax.random.PRNGKey(seed)
     kg, kd = jax.random.split(key)
