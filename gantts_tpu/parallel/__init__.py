@@ -150,3 +150,103 @@ class DataParallelGanTrainer(GanTrainer):
                 donate_argnums=(0, 1) if train else (),
             )
         return self._jitted[key]
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel (time-sharded) MLPG — the long-context story
+# ---------------------------------------------------------------------------
+
+def time_sharded_unit_variance_mlpg(means, windows, mesh, axis_name="data",
+                                    halfwidth=None):
+    """Unit-variance MLPG with the TIME axis sharded across the mesh.
+
+    The only super-linear-in-T object in this framework is the MLPG system
+    (dense R is (T, 3T)); the blocked-Toeplitz stencil (core/fast_mlpg.py)
+    makes it local-plus-halo: every output frame depends on at most W=24
+    frames to each side, except the first/last W frames which need the exact
+    boundary blocks.  So sequence parallelism is one halo exchange:
+
+      * each device holds T/n contiguous frames of (B, T, K*S);
+      * it receives W frames from each neighbor via ``jax.lax.ppermute``
+        (edge devices receive zeros — exactly the zero-pad semantics of the
+        unsharded operator);
+      * the interior blocked matmul runs locally;
+      * the first/last device overwrite their first/last W frames with the
+        exact boundary solutions (the boundary blocks span 2W frames, which
+        each edge device holds locally — requires T/n >= 2W).
+
+    Exactness: identical to ``unit_variance_mlpg_stencil`` (itself ~1e-6
+    from dense) — no approximation is introduced by the sharding.  The
+    collectives are two W-frame ``ppermute``s over ICI per call: O(W/T_loc)
+    relative traffic, vanishing for long sequences.
+
+    Args:
+      means: (B, T, K*S), T sharded over ``axis_name`` (global view).
+      windows: the delta-window set.
+      mesh: 1-D ``jax.sharding.Mesh``.
+    Returns: (B, T, S) with the same time sharding.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gantts_tpu.core.fast_mlpg import (
+        DEFAULT_HALFWIDTH,
+        _stencil_parts,
+        _windows_key,
+    )
+
+    W = halfwidth or DEFAULT_HALFWIDTH
+    key = _windows_key(windows)
+    _, top_np, bot_np = _stencil_parts(key, W)
+    K = len(windows)
+    n_dev = int(mesh.devices.size)
+
+    B, T, KS = means.shape
+    S = KS // K
+    T_loc = T // n_dev
+    if T % n_dev or T_loc < 2 * W:
+        raise ValueError(
+            f"time-sharded MLPG needs T divisible by {n_dev} devices with "
+            f">= {2 * W} frames per shard (got T={T})")
+
+    from gantts_tpu.core.fast_mlpg import _interior_blocked
+
+    def local_fn(u):
+        # u: (B, T_loc, K*S) local shard
+        i = jax.lax.axis_index(axis_name)
+        uk = u.reshape(B, T_loc, K, S)
+        # halo exchange: edge devices get zeros (ppermute drops no-source)
+        right_edge = uk[:, -W:]    # send to the right neighbor
+        left_edge = uk[:, :W]      # send to the left neighbor
+        from_left = jax.lax.ppermute(
+            right_edge, axis_name,
+            perm=[(d, d + 1) for d in range(n_dev - 1)])
+        from_right = jax.lax.ppermute(
+            left_edge, axis_name,
+            perm=[(d + 1, d) for d in range(n_dev - 1)])
+        u_halo = jnp.concatenate([from_left, uk, from_right], axis=1)
+
+        # interior: the SAME 128-block Toeplitz matmul as the unsharded
+        # stencil, run over [halo | local | halo]; the center T_loc outputs
+        # see only real data (the operator's own zero-padding lands in the
+        # discarded edge outputs).
+        y = _interior_blocked(u_halo, key, W,
+                              jax.lax.Precision.HIGHEST)[:, W:W + T_loc]
+
+        # exact boundaries on the edge devices
+        top = jnp.asarray(top_np)
+        bot = jnp.asarray(bot_np)
+        C = 2 * W
+        y_top = jnp.einsum("bcks,kwc->bws", uk[:, :C], top,
+                           precision=jax.lax.Precision.HIGHEST)
+        y_bot = jnp.einsum("bcks,kwc->bws", uk[:, -C:], bot,
+                           precision=jax.lax.Precision.HIGHEST)
+        y = jnp.where(i == 0, y.at[:, :W].set(y_top), y)
+        y = jnp.where(i == n_dev - 1, y.at[:, -W:].set(y_bot), y)
+        return y
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=P(None, axis_name, None),
+                   out_specs=P(None, axis_name, None))
+    return fn(means)

@@ -147,3 +147,43 @@ def test_train_cli_uses_mesh_and_matches_single_device(tmp_path):
             continue  # wall-clock series legitimately differ
         a, b = s1[key], s8[key]
         assert abs(a - b) <= 2e-4 * max(1.0, abs(a)), (key, a, b)
+
+
+def test_time_sharded_mlpg_matches_dense():
+    """Sequence parallelism (SURVEY section 2.4 long-context story): MLPG
+    with the TIME axis sharded over 8 devices (halo exchange via ppermute)
+    must match the dense unsharded computation exactly."""
+    from gantts_tpu.parallel import time_sharded_unit_variance_mlpg
+    from gantts_tpu.core.paramgen import unit_variance_mlpg
+
+    windows = hparams.vc.windows
+    B, T, S = 2, 512, 5
+    rs = np.random.RandomState(0)
+    u = rs.randn(B, T, 3 * S).astype(np.float32)
+
+    R = jnp.asarray(unit_variance_mlpg_matrix(windows, T))
+    y_dense = np.asarray(unit_variance_mlpg(R, jnp.asarray(u)))
+
+    mesh = make_mesh(8)
+    u_sharded = jax.device_put(
+        u, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            None, "data", None)))
+    fn = jax.jit(lambda m: time_sharded_unit_variance_mlpg(
+        m, windows, mesh))
+    y_sp = np.asarray(fn(u_sharded))
+
+    assert y_sp.shape == y_dense.shape
+    assert np.abs(y_sp - y_dense).max() < 5e-5, np.abs(y_sp - y_dense).max()
+
+    # must also hold at a length where dense R is already impractical
+    T2 = 2048
+    u2 = rs.randn(1, T2, 3 * S).astype(np.float32)
+    from gantts_tpu.core.fast_mlpg import unit_variance_mlpg_stencil
+
+    y_ref = np.asarray(unit_variance_mlpg_stencil(jnp.asarray(u2), windows))
+    u2_sh = jax.device_put(
+        u2, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            None, "data", None)))
+    y2 = np.asarray(jax.jit(lambda m: time_sharded_unit_variance_mlpg(
+        m, windows, mesh))(u2_sh))
+    assert np.abs(y2 - y_ref).max() < 5e-5
