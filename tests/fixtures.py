@@ -142,3 +142,58 @@ def make_tts_corpus(root, num=10, fs=16000, seed=0, states=5,
         from scipy.io import wavfile
         wavfile.write(join(root, "wav", f"utt_{i:04d}.wav"), fs, x)
     return root
+
+
+def make_arctic_vc_corpus(root, num=12, fs=16000, seed=0):
+    """Synthetic CMU-ARCTIC-layout parallel corpus for the VC demo:
+    <root>/cmu_us_{clb,slt}_arctic/wav/arctic_a%04d.wav.  Pair i shares a
+    'phone sequence' (same segment structure) but the two 'speakers' differ
+    in f0 scale, formants and segment durations (DTW-alignable)."""
+    rs = np.random.RandomState(seed)
+    import scipy.signal
+    from scipy.io import wavfile
+
+    speakers = {
+        "clb": dict(f0_scale=1.0, formants=((730, 70), (1100, 90),
+                                            (2400, 120))),
+        "slt": dict(f0_scale=1.25, formants=((660, 60), (1200, 100),
+                                             (2600, 140))),
+    }
+    for spk in speakers:
+        os.makedirs(join(root, f"cmu_us_{spk}_arctic", "wav"), exist_ok=True)
+
+    for i in range(num):
+        # shared segment plan: (voiced?, nominal duration s, rel f0)
+        n_seg = int(rs.randint(4, 7))
+        plan = [(bool(rs.rand() < 0.6), float(rs.uniform(0.08, 0.2)),
+                 float(rs.uniform(0.9, 1.1))) for _ in range(n_seg)]
+        base_f0 = float(rs.uniform(110, 160))
+        for spk, cfg in speakers.items():
+            stretch = rs.uniform(0.85, 1.15, size=n_seg)
+            x = []
+            for s_i, (voiced, dur, rel) in enumerate(plan):
+                n = int(dur * stretch[s_i] * fs)
+                tt = np.arange(n) / fs
+                if voiced:
+                    f0 = base_f0 * rel * cfg["f0_scale"]
+                    seg = sum(np.sin(2 * np.pi * f0 * h * tt) / np.sqrt(h)
+                              for h in range(1, int(0.4 * fs / f0) + 1))
+                    seg = np.asarray(seg) + 0.02 * rs.randn(n)
+                else:
+                    seg = 0.3 * rs.randn(n)
+                x.append(seg)
+            x = np.concatenate(x)
+            b_all, a_all = np.array([1.0]), np.array([1.0])
+            for fc, bw in cfg["formants"]:
+                r = np.exp(-np.pi * bw / fs)
+                th = 2 * np.pi * fc / fs
+                a_all = np.convolve(a_all,
+                                    np.array([1.0, -2 * r * np.cos(th),
+                                              r * r]))
+                b_all = np.convolve(b_all, np.array([1.0 - r]))
+            x = scipy.signal.lfilter(b_all, a_all, x)
+            x = (x / np.abs(x).max() * 0.5 * 32767).astype(np.int16)
+            wavfile.write(
+                join(root, f"cmu_us_{spk}_arctic", "wav",
+                     f"arctic_a{i:04d}.wav"), fs, x)
+    return root

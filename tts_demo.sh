@@ -20,6 +20,8 @@ SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 
 DURATION_EPOCHS=${DURATION_EPOCHS:-100}
 ACOUSTIC_EPOCHS=${ACOUSTIC_EPOCHS:-50}
+G_WARMUP=${G_WARMUP:-10}
+D_WARMUP=${D_WARMUP:-5}
 HPARAMS_EXTRA=${HPARAMS_EXTRA:-}
 
 DATA_DIR=data/slt_arctic_tts_$EXP_ID
@@ -31,15 +33,17 @@ $PYTHON $SCRIPT_DIR/prepare_features_tts.py $DATA_ROOT --dst_dir=$DATA_DIR
 # 2. Duration model (MGE) then acoustic model (GAN curriculum)
 bash $SCRIPT_DIR/train_gan.sh tts_duration "$HPARAMS_EXTRA" \
     $DATA_DIR/X_duration $DATA_DIR/Y_duration $CKPT/duration \
-    10 5 $DURATION_EPOCHS $DURATION_EPOCHS
+    $G_WARMUP $D_WARMUP $DURATION_EPOCHS $DURATION_EPOCHS
 
 bash $SCRIPT_DIR/train_gan.sh tts_acoustic "$HPARAMS_EXTRA" \
     $DATA_DIR/X_acoustic $DATA_DIR/Y_acoustic $CKPT/acoustic \
-    10 5 $ACOUSTIC_EPOCHS $ACOUSTIC_EPOCHS
+    $G_WARMUP $D_WARMUP $ACOUSTIC_EPOCHS $ACOUSTIC_EPOCHS
 
 # 3. Synthesize: baseline vs GAN
 for kind in baseline gan; do
     $PYTHON $SCRIPT_DIR/evaluation_tts.py --post-filter \
+        --hparams_acoustic="$HPARAMS_EXTRA" \
+        --hparams_duration="$HPARAMS_EXTRA" \
         $CKPT/acoustic/$kind/checkpoint_epoch${ACOUSTIC_EPOCHS}_Generator.pth \
         $CKPT/duration/$kind/checkpoint_epoch${DURATION_EPOCHS}_Generator.pth \
         $DATA_DIR $DATA_ROOT/label_state_align \

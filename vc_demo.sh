@@ -18,6 +18,7 @@ PYTHON=${PYTHON:-python}
 SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 
 MAX_FILES=${MAX_FILES:-500}
+HPARAMS_EXTRA=${HPARAMS_EXTRA:-}
 TOTAL_EPOCH=${TOTAL_EPOCH:-200}
 G_WARMUP=${G_WARMUP:-50}
 D_WARMUP=${D_WARMUP:-10}
@@ -30,12 +31,13 @@ $PYTHON $SCRIPT_DIR/prepare_features_vc.py $DATA_ROOT clb slt \
     --max_files=$MAX_FILES --dst_dir=$DATA_DIR
 
 # 2. 5-stage GAN curriculum
-bash $SCRIPT_DIR/train_gan.sh vc "" $DATA_DIR/X $DATA_DIR/Y $CKPT \
+bash $SCRIPT_DIR/train_gan.sh vc "$HPARAMS_EXTRA" $DATA_DIR/X $DATA_DIR/Y $CKPT \
     $G_WARMUP $D_WARMUP $TOTAL_EPOCH $TOTAL_EPOCH
 
 # 3. Synthesize evaluation + test sets, baseline vs GAN, DIFFVC mode
 for kind in baseline gan; do
     $PYTHON $SCRIPT_DIR/evaluation_vc.py --diffvc \
+        --hparams="$HPARAMS_EXTRA" \
         $CKPT/$kind/checkpoint_epoch${TOTAL_EPOCH}_Generator.pth \
         $DATA_DIR $DATA_ROOT/cmu_us_clb_arctic/wav \
         generated/vc_${EXP_ID}_$kind
