@@ -188,7 +188,8 @@ def linear_recurrence_pallas(f, b):
 
 
 def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
-                      u_ref, len_ref, h_ref, c_ref, cp_ref, carry_ref):
+                      u_ref, b_ref, len_ref, h_ref, c_ref, cp_ref,
+                      carry_ref):
     # I/O may be bf16 (u, h follow the compute dtype); all math runs f32 in
     # registers, and the recurrence state (c, cp, carry) is always f32.
     t = pl.program_id(0)
@@ -201,19 +202,21 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
     H = carry_ref.shape[-1]
     block = (n_chunks - 1 - t) if rev else t
     f32 = jnp.float32
+    bf = b_ref[0, H:2 * H].astype(f32)       # f-gate bias (bias add lives
+    br = b_ref[0, 2 * H:3 * H].astype(f32)   # in-kernel: no u+bias pass)
 
     def body(i, c):
         j = (chunk - 1 - i) if rev else i
         s = block * chunk + j  # global time index
         m = (s < lv).astype(f32)
         x_t = u_ref[j, :, 0:H].astype(f32)
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32))
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
         fm = f * m + (1.0 - m)
         bm = (1.0 - f) * x_t * m
         cp_ref[j] = c
         c = fm * c + bm
         c_ref[j] = c
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32))
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
         g = jnp.maximum(c, 0.0) if use_relu else jnp.tanh(c)
         x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
         h_ref[j] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
@@ -223,8 +226,8 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
 
 
 def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
-                      u_ref, len_ref, c_ref, cp_ref, gh_ref, du_ref,
-                      ghat_ref, fm_ref):
+                      u_ref, b_ref, len_ref, c_ref, cp_ref, gh_ref, du_ref,
+                      db_ref, ghat_ref, fm_ref, db_acc):
     # Traverses the OPPOSITE direction of the forward pass; `rev` here is
     # the traversal's own reversal flag (i.e. rev == not layer.reverse).
     t = pl.program_id(0)
@@ -233,11 +236,14 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
     def _():
         ghat_ref[...] = jnp.zeros_like(ghat_ref)
         fm_ref[...] = jnp.zeros_like(fm_ref)
+        db_acc[...] = jnp.zeros_like(db_acc)
 
     lv = len_ref[...]
     H = ghat_ref.shape[-1]
     block = (n_chunks - 1 - t) if rev else t
     f32 = jnp.float32
+    bf = b_ref[0, H:2 * H].astype(f32)
+    br = b_ref[0, 2 * H:3 * H].astype(f32)
 
     def body(i, carry):
         ghat, fm_next = carry
@@ -245,8 +251,8 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
         s = block * chunk + j
         m = (s < lv).astype(f32)
         x_t = u_ref[j, :, 0:H].astype(f32)
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32))
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32))
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
         x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
         c = c_ref[j]
         cp = cp_ref[j]
@@ -259,17 +265,25 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
         gh = gh_ref[j].astype(f32)
         ghat = gh * m * r * gp + fm_next * ghat
         od = du_ref.dtype
+        du_f = m * ghat * (cp - x_t) * f * (1.0 - f)
+        du_r = gh * m * (g - x_p) * r * (1.0 - r)
         du_ref[j, :, 0:H] = (ghat * (1.0 - f) * m).astype(od)
-        du_ref[j, :, H:2 * H] = (m * ghat * (cp - x_t)
-                                 * f * (1.0 - f)).astype(od)
-        du_ref[j, :, 2 * H:3 * H] = (gh * m * (g - x_p)
-                                     * r * (1.0 - r)).astype(od)
+        du_ref[j, :, H:2 * H] = du_f.astype(od)
+        du_ref[j, :, 2 * H:3 * H] = du_r.astype(od)
         du_ref[j, :, 3 * H:4 * H] = (gh * (1.0 - r) * m).astype(od)
+        # bias gradients accumulated in VMEM across the whole grid — saves
+        # the full-du re-read an external sum would cost
+        db_acc[0, H:2 * H] += jnp.sum(du_f, axis=0)
+        db_acc[0, 2 * H:3 * H] += jnp.sum(du_r, axis=0)
         fm_next = f * m + (1.0 - m)
         return ghat, fm_next
 
     ghat_ref[...], fm_ref[...] = jax.lax.fori_loop(
         0, chunk, body, (ghat_ref[...], fm_ref[...]))
+
+    @pl.when(t == n_chunks - 1)
+    def _():
+        db_ref[...] = db_acc[...]
 
 
 def _fused_specs(T, B, H, chunk, rev):
@@ -282,7 +296,9 @@ def _fused_specs(T, B, H, chunk, rev):
     h_spec = pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM)
     len_spec = pl.BlockSpec((B, H), lambda t: (0, 0),
                             memory_space=pltpu.VMEM)
-    return u_spec, h_spec, len_spec, n_chunks
+    b_spec = pl.BlockSpec((8, 4 * H), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    return u_spec, h_spec, len_spec, b_spec, n_chunks
 
 
 _FUSED_VMEM_BUDGET = 12 * 1024 * 1024  # scoped-vmem limit is 16 MB; leave room
@@ -303,13 +319,14 @@ def _fused_chunk(B, H, per_h_bytes):
     return chunk
 
 
-def _fused_fwd_call(u, len_bc, rev, use_relu):
+def _fused_fwd_call(u, b2d, len_bc, rev, use_relu):
     T, B, H4 = u.shape
     H = H4 // 4
     su = jnp.dtype(u.dtype).itemsize
     chunk = _fused_chunk(B, H, 4 * su + su + 4 + 4)
     assert T % chunk == 0
-    u_spec, h_spec, len_spec, n_chunks = _fused_specs(T, B, H, chunk, rev)
+    u_spec, h_spec, len_spec, b_spec, n_chunks = _fused_specs(
+        T, B, H, chunk, rev)
     from functools import partial
 
     kern = partial(_fused_fwd_kernel, rev, use_relu, chunk, n_chunks)
@@ -319,70 +336,79 @@ def _fused_fwd_call(u, len_bc, rev, use_relu):
     return pl.pallas_call(
         kern,
         grid=(n_chunks,),
-        in_specs=[u_spec, len_spec],
+        in_specs=[u_spec, b_spec, len_spec],
         out_specs=[h_spec, h_spec, h_spec],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=not _on_tpu(),
-    )(u, len_bc)
+    )(u, b2d, len_bc)
 
 
-def _fused_bwd_call(u, len_bc, c, cp, gh, rev_layer, use_relu):
+def _fused_bwd_call(u, b2d, len_bc, c, cp, gh, rev_layer, use_relu):
     T, B, H4 = u.shape
     H = H4 // 4
     su = jnp.dtype(u.dtype).itemsize
     sg = jnp.dtype(gh.dtype).itemsize
     chunk = _fused_chunk(B, H, 4 * su + 4 + 4 + sg + 4 * su)
     rev = not rev_layer  # traverse opposite to the forward direction
-    u_spec, h_spec, len_spec, n_chunks = _fused_specs(T, B, H, chunk, rev)
+    u_spec, h_spec, len_spec, b_spec, n_chunks = _fused_specs(
+        T, B, H, chunk, rev)
     from functools import partial
 
     kern = partial(_fused_bwd_kernel, rev, use_relu, chunk, n_chunks)
-    return pl.pallas_call(
+    du, db = pl.pallas_call(
         kern,
         grid=(n_chunks,),
-        in_specs=[u_spec, len_spec, h_spec, h_spec, h_spec],
-        out_specs=[u_spec],
-        out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), u.dtype)],
+        in_specs=[u_spec, b_spec, len_spec, h_spec, h_spec, h_spec],
+        out_specs=[u_spec, b_spec],
+        out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), u.dtype),
+                   jax.ShapeDtypeStruct((8, 4 * H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
-                        pltpu.VMEM((B, H), jnp.float32)],
+                        pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((8, 4 * H), jnp.float32)],
         interpret=not _on_tpu(),
-    )(u, len_bc, c, cp, gh)[0]
+    )(u, b2d, len_bc, c, cp, gh)
+    return du, db[0]
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused_sru_padded(u, len_bc, rev, use_relu):
-    h, _, _ = _fused_fwd_call(u, len_bc, rev, use_relu)
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_sru_padded(u, b2d, len_bc, rev, use_relu):
+    h, _, _ = _fused_fwd_call(u, b2d, len_bc, rev, use_relu)
     return h
 
 
-def _fused_sru_fwd(u, len_bc, rev, use_relu):
-    h, c, cp = _fused_fwd_call(u, len_bc, rev, use_relu)
-    return h, (u, len_bc, c, cp)
+def _fused_sru_fwd(u, b2d, len_bc, rev, use_relu):
+    h, c, cp = _fused_fwd_call(u, b2d, len_bc, rev, use_relu)
+    return h, (u, b2d, len_bc, c, cp)
 
 
 def _fused_sru_bwd(rev, use_relu, res, gh):
-    u, len_bc, c, cp = res
-    du = _fused_bwd_call(u, len_bc, c, cp, gh, rev, use_relu)
-    return du, jnp.zeros_like(len_bc)
+    u, b2d, len_bc, c, cp = res
+    du, db = _fused_bwd_call(u, b2d, len_bc, c, cp, gh, rev, use_relu)
+    db2d = jnp.zeros_like(b2d).at[0].set(db.astype(b2d.dtype))
+    return du, db2d, jnp.zeros_like(len_bc)
 
 
 _fused_sru_padded.defvjp(_fused_sru_fwd, _fused_sru_bwd)
 
 
-def fused_sru_layer(u, lengths, reverse=False, use_relu=0):
-    """One full SRU layer direction from pre-activations.
+def fused_sru_layer(u, lengths, bias4=None, reverse=False, use_relu=0):
+    """One full SRU layer direction from raw pre-activations ``u = x @ W``.
 
-    u: (T, B, 4H) time-major ``x @ W + [0, bf, br, 0]`` (bias folded);
-    lengths: (B,) int.  Returns h: (T, B, H) with padded frames zeroed.
-    Gradient flows to u only (bias gradients come out of du's f/r blocks
-    by reduction in the caller's autodiff).
+    u: (T, B, 4H) time-major; bias4: (4H,) ``[0, bf, br, 0]`` — ONLY the
+    f/r gate blocks are applied (the SRU cell has no x~/x' bias; those
+    blocks of bias4 must be zero and receive zero gradient).  The bias add
+    happens IN-KERNEL (no separate u+bias pass over HBM) and its gradient
+    is accumulated in-kernel too (no full-du re-read).  lengths: (B,) int.
+    Returns h: (T, B, H) with padded frames zeroed.
     """
     T, B, H4 = u.shape
     H = H4 // 4
+    if bias4 is None:
+        bias4 = jnp.zeros((H4,), jnp.float32)
     Bp = _round_up(max(B, 1), 8)
     Hp = _round_up(max(H, 1), 128)
     # T padded to the MAX chunk so every power-of-two chunk choice divides it
@@ -391,11 +417,15 @@ def fused_sru_layer(u, lengths, reverse=False, use_relu=0):
         u = u.reshape(T, B, 4, H)
         u = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, Hp - H)))
         u = u.reshape(T, B, 4 * Hp)
+        bias4 = jnp.pad(bias4.reshape(4, H),
+                        ((0, 0), (0, Hp - H))).reshape(4 * Hp)
     if (Tp, Bp) != (T, B):
         u = jnp.pad(u, ((0, Tp - T), (0, Bp - B), (0, 0)))
     len_bc = jnp.broadcast_to(
         jnp.asarray(lengths, jnp.float32)[:, None], (B, Hp))
     if Bp != B:
         len_bc = jnp.pad(len_bc, ((0, Bp - B), (0, 0)))
-    h = _fused_sru_padded(u, len_bc, bool(reverse), bool(use_relu))
+    b2d = jnp.broadcast_to(bias4.astype(jnp.float32)[None, :],
+                           (8, 4 * Hp))
+    h = _fused_sru_padded(u, b2d, len_bc, bool(reverse), bool(use_relu))
     return h[:T, :B, :H]

@@ -110,13 +110,12 @@ class SRULayer(nn.Module):
             if cd == jnp.bfloat16:
                 # bf16 kernel I/O halves the dominant HBM traffic (u in, du
                 # out) and doubles the feasible scan chunk; the kernel's
-                # internal math and recurrence state remain f32.
+                # internal math and recurrence state remain f32.  The bias
+                # add and its gradient live inside the kernel.
                 u = u.astype(cd)
-                bias4 = bias4.astype(cd)
-            h = kernels.fused_sru_layer(
-                u + bias4, lengths, reverse=self.reverse,
+            return kernels.fused_sru_layer(
+                u, lengths, bias4=bias4, reverse=self.reverse,
                 use_relu=self.use_relu)
-            return h
 
         # ---- fallback: pure-JAX composition (flips for reverse) ----------
         mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x.dtype)

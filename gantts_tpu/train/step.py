@@ -292,8 +292,14 @@ class GanTrainer:
                 y_hat_adv = jnp.concatenate([x, y_hat_adv], axis=-1)
 
             def d_loss_fn(params_d):
-                D_real = self._apply_d(params_d, y_adv, lengths, train, rng_dr)
-                D_fake = self._apply_d(params_d, y_hat_adv, lengths, train, rng_df)
+                # real and fake batched into ONE discriminator application
+                # (the per-frame MLP is batch-position-independent)
+                both = jnp.concatenate([y_adv, y_hat_adv], axis=0)
+                lengths2 = jnp.concatenate([lengths, lengths])
+                D_both = self._apply_d(params_d, both, lengths2, train,
+                                       rng_dr)
+                B0 = y_adv.shape[0]
+                D_real, D_fake = D_both[:B0], D_both[B0:]
                 loss_real = -jnp.sum(jnp.log(D_real + EPS) * mask) / Tm
                 loss_fake = -jnp.sum(jnp.log(1 - D_fake + EPS) * mask) / Tm
                 real_cc = jnp.sum((D_real > 0.5).astype(jnp.float32) * mask)

@@ -42,6 +42,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--compute-dtype", default="float32")
+    p.add_argument("--mlpg", default="dense", choices=["dense", "stencil"])
     args = p.parse_args()
 
     import jax
@@ -60,16 +61,18 @@ def main():
 
     hp = hparams.tts_acoustic.copy()
     hp.compute_dtype = args.compute_dtype
+    hp.mlpg_impl = args.mlpg
     hp.generator_params.update(in_dim=LIN_DIM, out_dim=OUT_DIM)
     hp.discriminator_params.update(in_dim=60 - 2 + LIN_DIM)
-    print("compute_dtype:", hp.compute_dtype, flush=True)
+    print("compute_dtype:", hp.compute_dtype, "mlpg:", hp.mlpg_impl,
+          flush=True)
 
     model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
     cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
                                   update_d=True, update_g=True)
     trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg,
                          np.zeros(OUT_DIM, np.float32),
-                         np.ones(OUT_DIM, np.float32))
+                         np.ones(OUT_DIM, np.float32), windows=hp.windows)
 
     rs = np.random.RandomState(0)
     x = jnp.asarray(rs.rand(B, T, LIN_DIM).astype(np.float32))
