@@ -242,3 +242,20 @@ def test_vc_rnn_generator_gan(vc_corpus):
     assert len(mge) == 2 and all(np.isfinite(mge))
     d = _series(rows, "train discriminator loss")
     assert d and all(np.isfinite(d))
+
+
+def test_vc_bf16_compute_tracks_f32(vc_corpus):
+    """compute_dtype=bfloat16 must train stably and track the f32 loss
+    trajectory closely (same data order, same init, same rng)."""
+    hp32 = _small_vc_hp()
+    _, _, rows32 = _run_vc(vc_corpus, hp32, w_d=0.0)
+    hp16 = _small_vc_hp()
+    hp16.compute_dtype = "bfloat16"
+    _, _, rows16 = _run_vc(vc_corpus, hp16, w_d=0.0)
+
+    m32 = _series(rows32, "train mge loss")
+    m16 = _series(rows16, "train mge loss")
+    assert all(np.isfinite(m16))
+    assert m16[-1] < m16[0]  # it trains
+    for a, b in zip(m32, m16):
+        assert abs(a - b) < 0.05 * max(abs(a), 1e-3), (m32, m16)
