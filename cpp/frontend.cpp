@@ -11,6 +11,7 @@
 //
 // Build: cmake -S cpp -B cpp/build && cmake --build cpp/build  (or make -C cpp)
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -203,3 +204,145 @@ int banded_cholesky_solve(double* ab, int64_t T, int bw, double* rhs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// WORLD-style synthesis engine (oracle: gantts_tpu/frontend/world.py
+// synthesize).  Pulse-synchronous minimum-phase periodic component plus
+// frame-OLA noise component; the caller supplies the windowed/scaled noise
+// segments so the C++ and NumPy paths consume the identical random stream
+// and agree sample-for-sample.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Iterative radix-2 complex FFT (n = power of two); inverse includes 1/n.
+void fft_c(std::vector<double>& re, std::vector<double>& im, bool inverse) {
+  const size_t n = re.size();
+  // bit reversal
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) { std::swap(re[i], re[j]); std::swap(im[i], im[j]); }
+  }
+  const double sgn = inverse ? 1.0 : -1.0;
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = sgn * 2.0 * M_PI / (double)len;
+    const double wr = std::cos(ang), wi = std::sin(ang);
+    for (size_t i = 0; i < n; i += len) {
+      double cr = 1.0, ci = 0.0;
+      for (size_t k = 0; k < len / 2; ++k) {
+        const size_t a = i + k, b = i + k + len / 2;
+        const double xr = re[b] * cr - im[b] * ci;
+        const double xi = re[b] * ci + im[b] * cr;
+        re[b] = re[a] - xr; im[b] = im[a] - xi;
+        re[a] += xr; im[a] += xi;
+        const double ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr;
+        cr = ncr;
+      }
+    }
+  }
+  if (inverse) {
+    const double inv = 1.0 / (double)n;
+    for (size_t i = 0; i < n; ++i) { re[i] *= inv; im[i] *= inv; }
+  }
+}
+
+// Minimum-phase impulse response from a one-sided power spectrum
+// (mirror of world.py _min_phase_ir).
+struct MinPhase {
+  std::vector<double> re, im;
+  explicit MinPhase(int fft_size) : re(fft_size), im(fft_size) {}
+
+  void compute(const double* ps, int n_bins, int fft_size, double* ir) {
+    const int n = fft_size;
+    // c = irfft(0.5*log(ps)): hermitian real spectrum -> real cepstrum
+    for (int k = 0; k < n_bins; ++k) {
+      const double v = 0.5 * std::log(ps[k] > 1e-300 ? ps[k] : 1e-300);
+      re[k] = v; im[k] = 0.0;
+      if (k > 0 && k < n_bins - 1) { re[n - k] = v; im[n - k] = 0.0; }
+    }
+    fft_c(re, im, /*inverse=*/true);
+    // fold to minimum phase: c[1..n/2-1] *= 2, c[n/2+1..] = 0
+    const int half = n / 2;
+    for (int k = 1; k < half; ++k) re[k] *= 2.0;
+    for (int k = half + 1; k < n; ++k) re[k] = 0.0;
+    std::fill(im.begin(), im.end(), 0.0);
+    // ir = irfft(exp(rfft(c_min)))
+    fft_c(re, im, /*inverse=*/false);
+    for (int k = 0; k < n; ++k) {
+      const double m = std::exp(re[k]);
+      re[k] = m * std::cos(im[k]);
+      im[k] = m * std::sin(im[k]);
+    }
+    fft_c(re, im, /*inverse=*/true);
+    for (int k = 0; k < n; ++k) ir[k] = re[k];
+  }
+};
+
+}  // namespace
+
+// f0 (T,), sp/ap (T, n_bins); noise_w (T, win_len) already windowed and
+// scaled by 1/sqrt(win_len); out (N + 2*fft_size) zero-initialized by the
+// caller; returns the used fft_size.
+extern "C" int64_t world_synthesize(const double* f0, const double* sp,
+                         const double* ap, int64_t T, int64_t n_bins,
+                         double fs, double frame_period,
+                         const double* noise_w, int64_t win_len,
+                         double* out, int64_t N) {
+  const int fft_size = (int)((n_bins - 1) * 2);
+  const double hop = fs * frame_period / 1000.0;
+  const int64_t out_len = N + 2 * (int64_t)fft_size;
+  MinPhase mp(fft_size);
+  std::vector<double> spec(n_bins), ir(fft_size);
+  const int conv_ir = fft_size < 512 ? fft_size : 512;
+  std::vector<double> shaped(win_len + conv_ir - 1);
+
+  // --- noise component: frame-synchronous OLA ---------------------------
+  for (int64_t i = 0; i < T; ++i) {
+    const int64_t center = (int64_t)((double)i * hop);
+    for (int64_t k = 0; k < n_bins; ++k) {
+      const double a = ap[i * n_bins + k];
+      spec[k] = sp[i * n_bins + k] * a * a;
+    }
+    mp.compute(spec.data(), (int)n_bins, fft_size, ir.data());
+    // shaped = conv(noise_w[i], ir[:conv_ir]) (full mode)
+    std::fill(shaped.begin(), shaped.end(), 0.0);
+    const double* nz = noise_w + i * win_len;
+    for (int64_t a = 0; a < win_len; ++a) {
+      const double na = nz[a];
+      if (na == 0.0) continue;
+      double* dst = shaped.data() + a;
+      for (int b = 0; b < conv_ir; ++b) dst[b] += na * ir[b];
+    }
+    ola_add(out, out_len, shaped.data(), (int64_t)shaped.size(), center, 1.0);
+  }
+
+  // --- periodic component: pulse-synchronous ----------------------------
+  double phase = 0.0;
+  int64_t n = 0;
+  const int64_t hop_half = (int64_t)(hop / 2) > 1 ? (int64_t)(hop / 2) : 1;
+  while (n < N) {
+    int64_t frame = (int64_t)((double)n / hop);
+    if (frame > T - 1) frame = T - 1;
+    const double f = f0[frame];
+    if (f <= 0.0) {
+      phase = 0.0;
+      n += hop_half;
+      continue;
+    }
+    phase += f / fs;
+    if (phase >= 1.0) {
+      phase -= 1.0;
+      for (int64_t k = 0; k < n_bins; ++k) {
+        const double a = ap[frame * n_bins + k];
+        spec[k] = sp[frame * n_bins + k] * (1.0 - a * a);
+      }
+      mp.compute(spec.data(), (int)n_bins, fft_size, ir.data());
+      ola_add(out, out_len, ir.data(), fft_size, n, std::sqrt(fs / f));
+    }
+    n += 1;
+  }
+  return fft_size;
+}

@@ -82,6 +82,15 @@ def _load():
         c_double_p, ctypes.c_int64, ctypes.c_int, c_double_p, ctypes.c_int64]
     lib.banded_cholesky_solve.restype = ctypes.c_int
 
+    try:
+        lib.world_synthesize.argtypes = [
+            c_double_p, c_double_p, c_double_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64]
+        lib.world_synthesize.restype = ctypes.c_int64
+    except AttributeError:  # stale library build without the synth engine
+        lib.world_synthesize = None
+
     _lib = lib
     return _lib
 
@@ -104,6 +113,31 @@ def mlsa_synthesis(excitation, b_frames, alpha, hopsize, pd=5):
         b_frames.shape[0], b_frames.shape[1] - 1,
         ctypes.c_double(alpha), int(hopsize), int(pd), _ptr(out))
     return out
+
+
+def has_world_synthesize() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "world_synthesize", None) is not None
+
+
+def world_synthesize(f0, sp, ap, fs, frame_period, noise_w, n_out):
+    """Full WORLD-style synthesis in C++ (see cpp/frontend.cpp).
+
+    noise_w: (T, win_len) pre-windowed/scaled noise (the caller generates it
+    so C++ and NumPy paths share the random stream).  Returns (n_out,)."""
+    lib = _load()
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    sp = np.ascontiguousarray(sp, dtype=np.float64)
+    ap = np.ascontiguousarray(ap, dtype=np.float64)
+    noise_w = np.ascontiguousarray(noise_w, dtype=np.float64)
+    T, n_bins = sp.shape
+    fft_size = (n_bins - 1) * 2
+    out = np.zeros(n_out + 2 * fft_size, dtype=np.float64)
+    lib.world_synthesize(
+        _ptr(f0), _ptr(sp), _ptr(ap), T, n_bins,
+        ctypes.c_double(float(fs)), ctypes.c_double(float(frame_period)),
+        _ptr(noise_w), noise_w.shape[1], _ptr(out), int(n_out))
+    return out[:n_out]
 
 
 def ola_add(out, ir, offset, gain=1.0):

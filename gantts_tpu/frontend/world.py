@@ -612,6 +612,17 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
 
     from gantts_tpu.frontend import native
 
+    if native.has_world_synthesize():
+        # Full C++ engine (cpp/frontend.cpp world_synthesize): the noise
+        # segments are generated here, windowed and scaled, so both paths
+        # consume the identical random stream and agree to float tolerance
+        # (tests/test_frontend.py).
+        win_len = int(2 * hop)
+        win = np.hanning(win_len) / np.sqrt(win_len)
+        noise_w = rs.randn(T, win_len) * win[None, :]
+        return native.world_synthesize(f0, sp, ap, fs, frame_period,
+                                       noise_w, N)
+
     if native.available():
         def _ola(ir, offset, gain):
             native.ola_add(out, ir, offset, gain)

@@ -252,3 +252,30 @@ def test_native_banded_solve_matches_scipy():
     ref = scipy.linalg.solveh_banded(ab, rhs, lower=False)
     out = native.banded_cholesky_solve(ab, rhs, bandwidth=ab.shape[0] - 1)
     assert np.abs(out - ref).max() < 1e-8
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_world_synthesize_matches_python(monkeypatch):
+    """The C++ synthesis engine must reproduce the NumPy oracle
+    sample-for-sample (identical noise stream, FFT rounding only)."""
+    if not native.has_world_synthesize():
+        pytest.skip("library built without world_synthesize")
+    rs = np.random.RandomState(0)
+    fs, T = 16000, 60
+    n_bins = world.get_cheaptrick_fft_size(fs) // 2 + 1
+    f0 = np.zeros(T)
+    f0[10:40] = 150.0 + 5 * np.sin(np.linspace(0, 3, 30))
+    freq = np.linspace(0, fs / 2, n_bins)
+    sp = np.exp(-freq / 3000.0)[None, :] * (1 + 0.1 * rs.rand(T, n_bins))
+    ap = np.clip(0.1 + 0.5 * rs.rand(T, n_bins), 1e-6, 1 - 1e-6)
+
+    y_cc = world.synthesize(f0, sp, ap, fs)
+
+    monkeypatch.setattr(native, "has_world_synthesize", lambda: False)
+    y_py = world.synthesize(f0, sp, ap, fs)
+
+    assert y_cc.shape == y_py.shape
+    scale = np.abs(y_py).max()
+    assert scale > 0
+    assert np.abs(y_cc - y_py).max() < 1e-6 * scale, \
+        np.abs(y_cc - y_py).max() / scale
