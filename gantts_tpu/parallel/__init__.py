@@ -187,7 +187,10 @@ def time_sharded_unit_variance_mlpg(means, windows, mesh, axis_name="data",
     Returns: (B, T, S) with the same time sharding.
     """
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from gantts_tpu.core.fast_mlpg import (
