@@ -346,3 +346,243 @@ extern "C" int64_t world_synthesize(const double* f0, const double* sp,
   }
   return fft_size;
 }
+
+// ---------------------------------------------------------------------------
+// WORLD-style ANALYSIS engine (oracles: frontend/world.py _ncc_refine,
+// _subharmonic_fix, cheaptrick, and the d4c band-NCC loop).  These are the
+// per-frame Python loops that dominate feature-extraction wall-clock; the
+// reference runs the same stage through pyworld's C++ (SURVEY.md §2.3).
+// Estimators match the NumPy oracles to float64 rounding (summation order
+// differs, so agreement is ~1e-12 relative, not bitwise).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline double dot_n(const double* a, const double* b, int64_t n) {
+  double s = 0.0;
+  for (int64_t i = 0; i < n; ++i) s += a[i] * b[i];
+  return s;
+}
+
+// seg = x[lo:hi] - mean(x[lo:hi]) into buf; returns length.
+inline int64_t centered_segment(const double* x, int64_t n, int64_t lo,
+                                int64_t hi, std::vector<double>& buf) {
+  if (lo < 0) lo = 0;
+  if (hi > n) hi = n;
+  const int64_t len = hi > lo ? hi - lo : 0;
+  buf.resize(len);
+  double mean = 0.0;
+  for (int64_t i = 0; i < len; ++i) mean += x[lo + i];
+  if (len > 0) mean /= (double)len;
+  for (int64_t i = 0; i < len; ++i) buf[i] = x[lo + i] - mean;
+  return len;
+}
+
+// Normalized cross-correlation of seg with itself at `lag` (both halves
+// energy-normalized) — the _subharmonic_fix / _ncc_refine inner product.
+inline double ncc_at(const double* seg, int64_t len, int64_t lag) {
+  if (lag < 2 || lag >= len - 1) return -1.0;
+  const double* a = seg;
+  const double* b = seg + lag;
+  const int64_t m = len - lag;
+  const double d = std::sqrt(std::max(1e-12, dot_n(a, a, m) * dot_n(b, b, m)));
+  return dot_n(a, b, m) / d;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Oracle: world.py _ncc_refine.  refined/peak_r are (T,) outputs; refined
+// must be initialized to f0 by the caller (only updated in-range), peak_r
+// zero-initialized.
+void ncc_refine(const double* x, int64_t n, const double* f0,
+                const double* tpos, int64_t T, double fs,
+                double* refined, double* peak_r) {
+  std::vector<double> seg, r;
+  for (int64_t i = 0; i < T; ++i) {
+    const double f = f0[i];
+    if (f <= 0.0) continue;
+    const double T0 = fs / f;
+    const int64_t half = (int64_t)(2.0 * T0);
+    const int64_t c = (int64_t)(tpos[i] * fs);  // Python int() truncation
+    const int64_t len = centered_segment(x, n, c - half, c + half, seg);
+    if (len < (int64_t)(1.5 * T0) + 2) continue;
+    const int64_t lag_lo = std::max((int64_t)2, (int64_t)(T0 * 0.8));
+    const int64_t lag_hi = std::min(len - 2, (int64_t)(T0 * 1.25));  // excl.
+    const int64_t n_lags = lag_hi - lag_lo;
+    if (n_lags < 3) continue;
+    const double e0 = dot_n(seg.data(), seg.data(), len);
+    if (e0 < 1e-12) continue;
+    r.resize(n_lags);
+    int64_t best = 0;
+    for (int64_t k = 0; k < n_lags; ++k) {
+      const int64_t lag = lag_lo + k;
+      const int64_t m = len - lag;
+      const double d = std::max(
+          1e-12, std::sqrt(dot_n(seg.data(), seg.data(), m) *
+                           dot_n(seg.data() + lag, seg.data() + lag, m)));
+      r[k] = dot_n(seg.data(), seg.data() + lag, m) / d;
+      if (r[k] > r[best]) best = k;  // first maximum, like np.argmax
+    }
+    peak_r[i] = r[best];
+    double delta = 0.0;
+    if (best > 0 && best < n_lags - 1) {
+      const double y0 = r[best - 1], y1 = r[best], y2 = r[best + 1];
+      const double denom = y0 - 2.0 * y1 + y2;
+      if (std::fabs(denom) > 1e-12) delta = 0.5 * (y0 - y2) / denom;
+    }
+    const double best_lag = (double)(lag_lo + best) + delta;
+    const double cand = fs / best_lag;
+    if (0.7 * f < cand && cand < 1.4 * f) refined[i] = cand;
+  }
+}
+
+// Oracle: world.py _subharmonic_fix.  out must be initialized to f0.
+void subharmonic_fix(const double* x, int64_t n, const double* f0,
+                     const double* tpos, int64_t T, double fs,
+                     double f0_floor, int max_div, double improvement,
+                     double* out) {
+  std::vector<double> seg;
+  for (int64_t i = 0; i < T; ++i) {
+    const double f = f0[i];
+    if (f <= 0.0) continue;
+    int kmax = 0;
+    for (int k = 2; k <= max_div; ++k)
+      if (f / k >= f0_floor) kmax = k;
+    if (kmax == 0) continue;
+    const double T0max = fs / (f / kmax);
+    const int64_t half = (int64_t)(1.2 * T0max);
+    const int64_t c = (int64_t)(tpos[i] * fs);  // Python int() truncation
+    const int64_t len = centered_segment(x, n, c - half, c + half, seg);
+    const double r1 = ncc_at(seg.data(), len, llround(fs / f));
+    int best_k = 1;
+    double best_r = r1;
+    for (int k = 2; k <= max_div; ++k) {
+      if (f / k < f0_floor) continue;
+      const double rk = ncc_at(seg.data(), len, llround(k * fs / f));
+      if (rk > best_r) { best_k = k; best_r = rk; }
+    }
+    if (best_k > 1 && best_r > r1 + improvement && best_r > 0.5)
+      out[i] = f / best_k;
+  }
+}
+
+// Oracle: world.py cheaptrick (the per-frame loop).  sp out (T, n_bins) with
+// n_bins = fft_size/2 + 1; fft_size a power of two.
+void cheaptrick_frames(const double* x, int64_t n, const double* f0,
+                       const double* tpos, int64_t T, double fs, double q1,
+                       double f0_floor, int fft_size, double* sp) {
+  const int n_bins = fft_size / 2 + 1;
+  std::vector<double> re(fft_size), im(fft_size), ps(n_bins), ext, cs;
+  std::vector<double> cep(fft_size), lif(n_bins);
+  for (int64_t i = 0; i < T; ++i) {
+    const double f = f0[i] > f0_floor / 2.0 ? f0[i] : 500.0;
+    const double T0 = fs / f;
+    const int64_t half = (int64_t)(1.5 * T0);
+    const int64_t c = llround(tpos[i] * fs);
+    const int64_t L = 2 * half + 1;
+    // windowed, DC-removed segment straight into the FFT input.  The DC
+    // sums run over the FULL window even if it exceeds fft_size (the
+    // oracle subtracts first, then np.fft.rfft truncates).
+    std::fill(re.begin(), re.end(), 0.0);
+    std::fill(im.begin(), im.end(), 0.0);
+    double wsum = 0.0, xsum = 0.0;
+    const double ang = L > 1 ? 2.0 * M_PI / (double)(L - 1) : 0.0;
+    for (int64_t j = 0; j < L; ++j) {
+      const int64_t idx = c - half + j;
+      const double s = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+      const double w = 0.5 - 0.5 * std::cos(ang * (double)j);
+      if (j < fft_size) re[j] = s * w;
+      wsum += w;
+      xsum += s * w;
+    }
+    const double dc = xsum / std::max(wsum, 1e-12);
+    for (int64_t j = 0; j < L && j < fft_size; ++j) {
+      const double w = 0.5 - 0.5 * std::cos(ang * (double)j);
+      re[j] -= w * dc;
+    }
+    fft_c(re, im, /*inverse=*/false);
+    for (int k = 0; k < n_bins; ++k) ps[k] = re[k] * re[k] + im[k] * im[k];
+    // rectangular smoothing, width 2f/3 Hz (oracle _linear_smoothing)
+    const double w_bins = (2.0 * f / 3.0) * (double)fft_size / fs;
+    if (w_bins > 1.0) {
+      const int k = (int)std::floor(w_bins / 2.0);
+      ext.resize(n_bins + 2 * k);
+      for (int j = 0; j < k; ++j) ext[j] = ps[k - j];          // ps[k:0:-1]
+      std::copy(ps.begin(), ps.end(), ext.begin() + k);
+      for (int j = 0; j < k; ++j)                               // mirrored tail
+        ext[k + n_bins + j] = ps[n_bins - 2 - j];
+      cs.resize(ext.size());
+      double acc = 0.0;
+      for (size_t j = 0; j < ext.size(); ++j) { acc += ext[j]; cs[j] = acc; }
+      const double inv = 1.0 / (double)(2 * k + 1);
+      for (int j = 0; j < n_bins; ++j)
+        ps[j] = (cs[2 * k + j] - (j > 0 ? cs[j - 1] : 0.0)) * inv;
+    }
+    double mx = 1e-300;
+    for (int j = 0; j < n_bins; ++j) mx = std::max(mx, ps[j]);
+    const double floor_v = 1e-12 * mx;
+    // cep = irfft(log(ps)): hermitian real spectrum -> real cepstrum
+    for (int k = 0; k < n_bins; ++k) {
+      const double v = std::log(std::max(ps[k], floor_v));
+      re[k] = v; im[k] = 0.0;
+      if (k > 0 && k < n_bins - 1) { re[fft_size - k] = v; im[fft_size - k] = 0.0; }
+    }
+    fft_c(re, im, /*inverse=*/true);
+    for (int k = 0; k < fft_size; ++k) cep[k] = re[k];
+    // liftering: sinc recovery of the rect smoothing + q1 compensation
+    lif[0] = 1.0;
+    for (int k = 1; k < n_bins; ++k) {
+      const double quef = (double)k / fs * (double)fft_size;
+      const double a = M_PI * f * quef / fs;
+      const double lifter = std::sin(a) / a;
+      const double comp =
+          (1.0 - 2.0 * q1) + 2.0 * q1 * std::cos(2.0 * M_PI * quef * f / fs);
+      lif[k] = lifter * comp;
+    }
+    // full = [lif, lif[1:-1] reversed]; sp = exp(Re(fft(cep * full)))
+    for (int k = 0; k < n_bins; ++k) { re[k] = cep[k] * lif[k]; im[k] = 0.0; }
+    for (int k = n_bins; k < fft_size; ++k) {
+      re[k] = cep[k] * lif[fft_size - k];
+      im[k] = 0.0;
+    }
+    fft_c(re, im, /*inverse=*/false);
+    double* row = sp + i * n_bins;
+    for (int k = 0; k < n_bins; ++k) row[k] = std::exp(re[k]);
+  }
+}
+
+// Oracle: the per-frame band-NCC loop of world.py d4c.  band_sigs is
+// (n_bands, n) row-major (band-passed copies of the signal); band_ap out
+// (T, n_bands) must be pre-filled with 1 - 1e-12 by the caller.
+void d4c_band_ncc(const double* band_sigs, int64_t n_bands, int64_t n,
+                  const double* f0, const double* tpos, int64_t T, double fs,
+                  double* band_ap) {
+  std::vector<double> seg;
+  for (int64_t i = 0; i < T; ++i) {
+    const double f = f0[i];
+    if (f <= 0.0) continue;
+    const double T0 = fs / f;
+    const int64_t half = (int64_t)(2.5 * T0);
+    const int64_t c = llround(tpos[i] * fs);
+    int64_t lo = c - half, hi = c + half;
+    if (lo < 0) lo = 0;
+    if (hi > n) hi = n;
+    const int64_t len = hi - lo;
+    if (len < (int64_t)(2.0 * T0) + 2) continue;
+    const int64_t lag = llround(T0);
+    if (lag >= len - 1) continue;
+    for (int64_t b = 0; b < n_bands; ++b) {
+      centered_segment(band_sigs + b * n, n, lo, hi, seg);
+      const double e = dot_n(seg.data(), seg.data(), len);
+      if (e < 1e-12) continue;
+      double r = dot_n(seg.data(), seg.data() + lag, len - lag) / e;
+      r /= std::max(1e-9, 1.0 - (double)lag / (double)len);
+      r = std::min(std::max(r, 0.0), 1.0 - 1e-12);
+      band_ap[i * n_bands + b] = std::sqrt(std::max(1.0 - r, 1e-12));
+    }
+  }
+}
+
+}  // extern "C"

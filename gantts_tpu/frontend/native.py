@@ -91,6 +91,28 @@ def _load():
     except AttributeError:  # stale library build without the synth engine
         lib.world_synthesize = None
 
+    try:
+        lib.ncc_refine.argtypes = [
+            c_double_p, ctypes.c_int64, c_double_p, c_double_p,
+            ctypes.c_int64, ctypes.c_double, c_double_p, c_double_p]
+        lib.ncc_refine.restype = None
+        lib.subharmonic_fix.argtypes = [
+            c_double_p, ctypes.c_int64, c_double_p, c_double_p,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            ctypes.c_double, c_double_p]
+        lib.subharmonic_fix.restype = None
+        lib.cheaptrick_frames.argtypes = [
+            c_double_p, ctypes.c_int64, c_double_p, c_double_p,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, c_double_p]
+        lib.cheaptrick_frames.restype = None
+        lib.d4c_band_ncc.argtypes = [
+            c_double_p, ctypes.c_int64, ctypes.c_int64, c_double_p,
+            c_double_p, ctypes.c_int64, ctypes.c_double, c_double_p]
+        lib.d4c_band_ncc.restype = None
+    except AttributeError:  # stale library build without the analysis engine
+        lib.ncc_refine = None
+
     _lib = lib
     return _lib
 
@@ -138,6 +160,68 @@ def world_synthesize(f0, sp, ap, fs, frame_period, noise_w, n_out):
         ctypes.c_double(float(fs)), ctypes.c_double(float(frame_period)),
         _ptr(noise_w), noise_w.shape[1], _ptr(out), int(n_out))
     return out[:n_out]
+
+
+def has_analysis() -> bool:
+    """True if the library ships the WORLD analysis engine (ncc_refine &c)."""
+    lib = _load()
+    return lib is not None and getattr(lib, "ncc_refine", None) is not None
+
+
+def ncc_refine(x, f0, temporal_positions, fs):
+    """C++ twin of world.py _ncc_refine; returns (refined, peak_r)."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    refined = f0.copy()
+    peak_r = np.zeros_like(f0)
+    lib.ncc_refine(_ptr(x), len(x), _ptr(f0), _ptr(tpos), len(f0),
+                   ctypes.c_double(float(fs)), _ptr(refined), _ptr(peak_r))
+    return refined, peak_r
+
+
+def subharmonic_fix(x, f0, temporal_positions, fs, f0_floor,
+                    max_div=6, improvement=0.12):
+    """C++ twin of world.py _subharmonic_fix; returns the corrected f0."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    out = f0.copy()
+    lib.subharmonic_fix(_ptr(x), len(x), _ptr(f0), _ptr(tpos), len(f0),
+                        ctypes.c_double(float(fs)),
+                        ctypes.c_double(float(f0_floor)), int(max_div),
+                        ctypes.c_double(float(improvement)), _ptr(out))
+    return out
+
+
+def cheaptrick_frames(x, f0, temporal_positions, fs, q1, f0_floor, fft_size):
+    """C++ twin of world.py cheaptrick's frame loop; (T, fft//2+1) power."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    sp = np.empty((len(f0), fft_size // 2 + 1), dtype=np.float64)
+    lib.cheaptrick_frames(_ptr(x), len(x), _ptr(f0), _ptr(tpos), len(f0),
+                          ctypes.c_double(float(fs)),
+                          ctypes.c_double(float(q1)),
+                          ctypes.c_double(float(f0_floor)), int(fft_size),
+                          _ptr(sp))
+    return sp
+
+
+def d4c_band_ncc(band_sigs, f0, temporal_positions, fs):
+    """C++ twin of world.py d4c's band-NCC loop; (T, n_bands) band ap."""
+    lib = _load()
+    band_sigs = np.ascontiguousarray(band_sigs, dtype=np.float64)
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    n_bands, n = band_sigs.shape
+    band_ap = np.full((len(f0), n_bands), 1.0 - 1e-12, dtype=np.float64)
+    lib.d4c_band_ncc(_ptr(band_sigs), n_bands, n, _ptr(f0), _ptr(tpos),
+                     len(f0), ctypes.c_double(float(fs)), _ptr(band_ap))
+    return band_ap
 
 
 def ola_add(out, ir, offset, gain=1.0):

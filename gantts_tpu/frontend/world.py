@@ -145,6 +145,18 @@ def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
 
 def _subharmonic_fix(x, f0, temporal_positions, fs, f0_floor,
                      max_div=6, improvement=0.12):
+    from gantts_tpu.frontend import native
+
+    if native.has_analysis():
+        return native.subharmonic_fix(
+            np.asarray(x, dtype=np.float64), f0, temporal_positions, fs,
+            f0_floor, max_div, improvement)
+    return _subharmonic_fix_py(x, f0, temporal_positions, fs, f0_floor,
+                               max_div, improvement)
+
+
+def _subharmonic_fix_py(x, f0, temporal_positions, fs, f0_floor,
+                        max_div=6, improvement=0.12):
     """Harmonic (octave-up) error correction.
 
     If the estimate locked onto the k-th harmonic, the NCC at the TRUE
@@ -208,10 +220,21 @@ def _remove_jumps(f0, allowed_range=0.18, min_run=3):
 
 def _ncc_refine(x, f0, temporal_positions, fs):
     """Per-frame F0 refinement by parabolic-interpolated normalized
-    autocorrelation around the current estimate.
+    autocorrelation around the current estimate (C++ fast path; NumPy
+    oracle in :func:`_ncc_refine_py`).
 
     Returns (refined_f0, peak_r) where peak_r is the NCC value at the best
     lag (1 = perfectly periodic, used as a voicing confidence)."""
+    from gantts_tpu.frontend import native
+
+    if native.has_analysis():
+        return native.ncc_refine(
+            np.asarray(x, dtype=np.float64), f0, temporal_positions, fs)
+    return _ncc_refine_py(x, f0, temporal_positions, fs)
+
+
+def _ncc_refine_py(x, f0, temporal_positions, fs):
+    """NumPy oracle for :func:`_ncc_refine` (cpp/frontend.cpp ncc_refine)."""
     x = np.asarray(x, dtype=np.float64)
     refined = f0.copy()
     peak_r = np.zeros(len(f0))
@@ -407,10 +430,17 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
     """Pitch-adaptive spectral envelope; (T, fft_size//2+1) power spectrum.
 
     Contract of pyworld.cheaptrick (prepare_features_vc.py:48,
-    prepare_features_tts.py:120, evaluation_vc.py:47)."""
+    prepare_features_tts.py:120, evaluation_vc.py:47).  The per-frame loop
+    runs in C++ when the host library is available (cpp/frontend.cpp
+    cheaptrick_frames); this NumPy body is its oracle."""
     x = np.asarray(x, dtype=np.float64)
     if fft_size is None:
         fft_size = get_cheaptrick_fft_size(fs, f0_floor)
+    from gantts_tpu.frontend import native
+
+    if native.has_analysis():
+        return native.cheaptrick_frames(x, f0, temporal_positions, fs,
+                                        q1, f0_floor, fft_size)
     n_bins = fft_size // 2 + 1
     T = len(f0)
     sp = np.empty((T, n_bins))
@@ -492,6 +522,29 @@ def d4c(x, f0, temporal_positions, fs, threshold=0.85, fft_size=None):
             4, [max(lo, 1.0), min(hi, fs / 2 - 1.0)], btype="band",
             fs=fs, output="sos")
         band_sigs.append(scipy.signal.sosfiltfilt(sos, x))
+
+    from gantts_tpu.frontend import native
+
+    if native.has_analysis():
+        # per-frame band NCC in C++, band->full-axis expansion vectorized
+        band_ap = native.d4c_band_ncc(
+            np.ascontiguousarray(np.stack(band_sigs)), f0,
+            temporal_positions, fs)
+        centers = (np.asarray(band_edges[:-1])
+                   + np.asarray(band_edges[1:])) / 2
+        ap_db = 20 * np.log10(band_ap)  # (T, n_bands)
+        if n_bands == 1:
+            full_db = np.broadcast_to(ap_db, (T, n_bins))
+        else:
+            j = np.clip(np.searchsorted(centers, freq_axis) - 1,
+                        0, n_bands - 2)
+            frac = (freq_axis - centers[j]) / (centers[j + 1] - centers[j])
+            full_db = ap_db[:, j] + (ap_db[:, j + 1] - ap_db[:, j]) * frac
+            full_db = np.where(freq_axis <= centers[0], ap_db[:, :1],
+                               full_db)
+            full_db = np.where(freq_axis >= centers[-1], ap_db[:, -1:],
+                               full_db)
+        return np.clip(10 ** (full_db / 20), 1e-12, 1.0 - 1e-12)
 
     band_ap = np.ones((T, n_bands)) * (1.0 - 1e-12)
     for i in range(T):

@@ -279,3 +279,93 @@ def test_native_world_synthesize_matches_python(monkeypatch):
     assert scale > 0
     assert np.abs(y_cc - y_py).max() < 1e-6 * scale, \
         np.abs(y_cc - y_py).max() / scale
+
+
+# ---------------- C++ WORLD analysis engine vs NumPy oracles ----------------
+
+def _analysis_fixture(fs=16000, dur=1.2):
+    """Vibrato harmonic signal with silence head/tail and a known contour."""
+    rs = np.random.RandomState(7)
+    t = np.arange(int(fs * dur)) / fs
+    f0c = 140 + 20 * np.sin(2 * np.pi * 2.0 * t)
+    ph = 2 * np.pi * np.cumsum(f0c) / fs
+    x = np.sin(ph) + 0.5 * np.sin(2 * ph) + 0.3 * np.sin(3 * ph)
+    x[: int(0.1 * fs)] = 0.0
+    x += 0.02 * rs.randn(len(x))
+    hop = 0.005
+    T = int(len(x) / fs / hop) + 1
+    tp = np.arange(T) * hop
+    f0 = np.where((tp > 0.15) & (tp < dur - 0.1),
+                  140 + 20 * np.sin(2 * np.pi * 2.0 * tp), 0.0)
+    return x, f0, tp, fs
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_ncc_refine_matches_python():
+    if not native.has_analysis():
+        pytest.skip("library built without the analysis engine")
+    x, f0, tp, fs = _analysis_fixture()
+    r_cc, p_cc = native.ncc_refine(x, f0, tp, fs)
+    r_py, p_py = world._ncc_refine_py(x, f0, tp, fs)
+    np.testing.assert_allclose(r_cc, r_py, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(p_cc, p_py, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_subharmonic_fix_matches_python():
+    if not native.has_analysis():
+        pytest.skip("library built without the analysis engine")
+    x, f0, tp, fs = _analysis_fixture()
+    # feed octave-up errors so the correction path actually fires
+    f0_bad = np.where(f0 > 0, f0 * 2.0, 0.0)
+    s_cc = native.subharmonic_fix(x, f0_bad, tp, fs, 71.0)
+    s_py = world._subharmonic_fix_py(x, f0_bad, tp, fs, 71.0)
+    np.testing.assert_allclose(s_cc, s_py, rtol=1e-9, atol=1e-9)
+    assert (s_cc != f0_bad).any(), "fixture never exercised the correction"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_cheaptrick_matches_python(monkeypatch):
+    if not native.has_analysis():
+        pytest.skip("library built without the analysis engine")
+    x, f0, tp, fs = _analysis_fixture(dur=0.6)
+    sp_cc = world.cheaptrick(x, f0, tp, fs)
+    monkeypatch.setattr(native, "has_analysis", lambda: False)
+    sp_py = world.cheaptrick(x, f0, tp, fs)
+    assert sp_cc.shape == sp_py.shape
+    np.testing.assert_allclose(sp_cc, sp_py, rtol=1e-7)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_d4c_matches_python(monkeypatch):
+    if not native.has_analysis():
+        pytest.skip("library built without the analysis engine")
+    x, f0, tp, fs = _analysis_fixture(dur=0.6)
+    ap_cc = world.d4c(x, f0, tp, fs)
+    monkeypatch.setattr(native, "has_analysis", lambda: False)
+    ap_py = world.d4c(x, f0, tp, fs)
+    assert ap_cc.shape == ap_py.shape
+    np.testing.assert_allclose(ap_cc, ap_py, rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_harvest_dio_match_python(monkeypatch):
+    """dio/harvest route their per-frame NCC loops through C++; the full
+    contours must agree with the all-Python path (same thresholds, rounding
+    differences only at strict-inequality gate boundaries)."""
+    if not native.has_analysis():
+        pytest.skip("library built without the analysis engine")
+    x, _, _, fs = _analysis_fixture()
+    f0h_cc, tp_cc = world.harvest(x, fs)
+    f0d_cc, _ = world.dio(x, fs)
+    monkeypatch.setattr(native, "has_analysis", lambda: False)
+    f0h_py, tp_py = world.harvest(x, fs)
+    f0d_py, _ = world.dio(x, fs)
+    np.testing.assert_allclose(tp_cc, tp_py)
+    # voicing decisions threshold on NCC values; allow isolated flips at
+    # gate boundaries, and require the voiced contours to agree closely
+    for cc, py in ((f0h_cc, f0h_py), (f0d_cc, f0d_py)):
+        both = (cc > 0) & (py > 0)
+        assert both.mean() > 0.5, "fixture mostly voiced on both paths"
+        assert ((cc > 0) != (py > 0)).mean() < 0.02
+        np.testing.assert_allclose(cc[both], py[both], rtol=1e-6)
