@@ -54,6 +54,10 @@ def get_cheaptrick_fft_size(fs, f0_floor=DEFAULT_F0_FLOOR):
     return int(2 ** np.ceil(np.log2(3.0 * fs / f0_floor + 1.0)))
 
 
+def _is_pow2(n):
+    return n > 0 and (n & (n - 1)) == 0
+
+
 # ---------------------------------------------------------------------------
 # F0 estimation
 # ---------------------------------------------------------------------------
@@ -438,7 +442,9 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
         fft_size = get_cheaptrick_fft_size(fs, f0_floor)
     from gantts_tpu.frontend import native
 
-    if native.has_analysis():
+    # the C++ engine's FFT is radix-2 only; non-power-of-two sizes (legal
+    # for the np.fft oracle) must take the NumPy path
+    if native.has_analysis() and _is_pow2(fft_size):
         return native.cheaptrick_frames(x, f0, temporal_positions, fs,
                                         q1, f0_floor, fft_size)
     n_bins = fft_size // 2 + 1
@@ -665,8 +671,9 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
 
     from gantts_tpu.frontend import native
 
-    if native.has_world_synthesize():
-        # Full C++ engine (cpp/frontend.cpp world_synthesize): the noise
+    if native.has_world_synthesize() and _is_pow2(fft_size):
+        # Full C++ engine (cpp/frontend.cpp world_synthesize; radix-2 FFT,
+        # so non-power-of-two fft_size falls through to NumPy): the noise
         # segments are generated here, windowed and scaled, so both paths
         # consume the identical random stream and agree to float tolerance
         # (tests/test_frontend.py).

@@ -88,10 +88,11 @@ def matmul_cast(x, w, compute_dtype="float32"):
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with torch nn.Linear's default init.
+    """Linear layer with torch nn.Linear's default init.
 
-    ``compute_dtype``: matmul precision (params stay f32, output cast back
-    to f32) — see ``matmul_cast``."""
+    ``compute_dtype``: matmul precision via ``matmul_cast`` (params stay
+    f32, accumulation/bias add/output in f32, custom VJP keeps the backward
+    matmuls on the bf16 path) — the same contract as the RNN projections."""
 
     features: int
     compute_dtype: str = "float32"
@@ -100,13 +101,12 @@ class TorchLinear(nn.Module):
     def __call__(self, x):
         fan_in = x.shape[-1]
         bound = 1.0 / (fan_in ** 0.5)
-        y = nn.Dense(
-            self.features,
-            kernel_init=torch_uniform_init(bound),
-            bias_init=torch_uniform_init(bound),
-            dtype=jnp.dtype(self.compute_dtype),
-        )(x)
-        return y.astype(jnp.float32)
+        kernel = self.param("kernel", torch_uniform_init(bound),
+                            (fan_in, self.features))
+        bias = self.param("bias", torch_uniform_init(bound),
+                          (self.features,))
+        y = matmul_cast(x, kernel, self.compute_dtype)
+        return y.astype(jnp.float32) + bias
 
 
 def leaky_relu(x):

@@ -64,7 +64,7 @@ def linear_recurrence(f, b, axis=1):
 
 def dispatch_linear_recurrence(f, b):
     """(B, T, H) linear recurrence: Pallas grid-scan on TPU, associative
-    scan elsewhere.  Kept for the non-fused fallback path and tests."""
+    scan elsewhere.  Used by SRULayer's non-fused (k==3) fallback."""
     from gantts_tpu import kernels
 
     if kernels.default_use_pallas():
@@ -133,7 +133,11 @@ class SRULayer(nn.Module):
 
         f_m = f * mask_d + (1.0 - mask_d)       # f -> 1 on padding
         b_m = (1.0 - f) * x_tilde * mask_d      # input contribution -> 0
-        c = linear_recurrence(f_m, b_m, axis=0)
+        # Pallas grid-scan on TPU (batch-major wrapper), associative scan
+        # elsewhere — this k==3 path has no fused kernel.
+        c = jnp.swapaxes(
+            dispatch_linear_recurrence(jnp.swapaxes(f_m, 0, 1),
+                                       jnp.swapaxes(b_m, 0, 1)), 0, 1)
 
         g = jax.nn.relu if self.use_relu else jnp.tanh
         h = (r * g(c) + (1.0 - r) * x_prime) * mask_d

@@ -14,9 +14,12 @@ collectives anywhere).  The TPU build adds DP as a first-class capability:
     analog: the mesh + sharding annotations ARE the communication layer.
 
 Multi-host: under ``jax.distributed`` the same code runs unchanged — the
-mesh spans all hosts' devices and each host feeds its local batch shard
-(``host_local_array_to_global_array``); the data loader shards files by
-``jax.process_index()``.
+mesh spans all hosts' devices, every host iterates the IDENTICAL global
+batch sequence (same split, same shuffle seed — so batch counts, bucketed
+shapes and the per-batch MLPG R agree across processes by construction),
+and ``put_batch`` materializes only each host's addressable row shards via
+``jax.make_array_from_callback``.  Verified by a real 2-process CPU
+cluster test (tests/test_parallel.py).
 
 Works identically on a CPU mesh (tests use
 ``XLA_FLAGS=--xla_force_host_platform_device_count=8``) and on TPU slices.
@@ -46,16 +49,6 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     jax.distributed.initialize(**kwargs)
-
-
-def host_shard_files(files):
-    """Deterministically partition a file list across hosts (round-robin by
-    ``jax.process_index()``) — the data-loader side of multi-host DP: each
-    host feeds only its shard, the mesh sees the global batch."""
-    import jax
-
-    n, i = jax.process_count(), jax.process_index()
-    return files[i::n]
 
 
 def make_mesh(n_devices=None, axis_name="data"):
@@ -101,30 +94,46 @@ class DataParallelGanTrainer(GanTrainer):
 
     # -- operand placement ---------------------------------------------------
     def put_batch(self, x, y, lengths, z=None):
-        """Pad the batch axis to a device multiple (zero-length rows are
-        inert under the masked losses) and shard it over the mesh.  Under
-        multi-host each process contributes its local shard
-        (``make_array_from_process_local_data``)."""
-        multi_host = jax.process_count() > 1
-        # Pad to a multiple of the devices THIS process feeds; under
-        # multi-host the global batch is assembled from the local shards.
-        n = int(self.mesh.local_mesh.devices.size if multi_host
-                else self.mesh.devices.size)
+        """Shard the GLOBAL batch over the mesh's batch axis.
+
+        The inputs are the full global batch — identical on every process
+        (the loaders replay the same split/shuffle on every host) — padded
+        here with zero-length rows to a multiple of the GLOBAL device count
+        (inert under the masked losses).  ``make_array_from_callback``
+        materializes only this process's addressable shards, so under
+        multi-host each host uploads just its rows; single-host it is
+        equivalent to a sharded ``device_put``."""
+        n = int(self.mesh.devices.size)
         arrs = [np.asarray(x), np.asarray(y)]
         if z is not None:
             arrs.append(np.asarray(z))
         arrs, lengths = pad_batch_to_devices(arrs, np.asarray(lengths), n)
         sh = batch_sharding(self.mesh)
-        if multi_host:
-            put = lambda a: jax.make_array_from_process_local_data(sh, a)  # noqa: E731
-        else:
-            put = lambda a: jax.device_put(a, sh)  # noqa: E731
+
+        def put(a):
+            return jax.make_array_from_callback(
+                a.shape, sh, lambda idx, a=a: a[idx])
+
         x, y = put(arrs[0]), put(arrs[1])
         z_out = put(arrs[2]) if z is not None else None
         return x, y, put(lengths), z_out
 
     def put_replicated(self, a):
-        return jax.device_put(a, replicated(self.mesh))
+        """Replicate a host value over the whole mesh.  Multi-host safe:
+        the value is identical on every process (R matrices are built from
+        the synchronized batch shapes), so materializing each host's
+        addressable replicas from its local copy is a consistent global
+        array."""
+        sh = replicated(self.mesh)
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
+    def place_states(self, *states):
+        """Replicate model/optimizer state pytrees over the mesh (leaf by
+        leaf) — required before the first multi-host step."""
+        return tuple(
+            jax.tree_util.tree_map(self.put_replicated, s) for s in states)
 
     def step_fn(self, train: bool):
         key = bool(train)

@@ -62,6 +62,9 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
     import time as _time
 
     cfg = trainer.cfg
+    gstate, dstate = trainer.place_states(gstate, dstate)
+    if ref_params is not None:
+        (ref_params,) = trainer.place_states(ref_params)
     r_cache = (RMatrixCache(hp.windows, placer=trainer.put_replicated)
                if cfg.has_dynamic else None)
     noise_rs = np.random.RandomState(seed)

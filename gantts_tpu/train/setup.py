@@ -56,24 +56,18 @@ def prepare_vc(X, Y, utt_lengths, hp, data_dir):
 
     loaders = {}
     for phase in ["train", "test"]:
-        Xp, Yp = _host_shard_lists(X[phase], Y[phase])
-        ds = VCDataset(Xp, Yp, data_mean, data_std)
+        # Multi-host: every host iterates the IDENTICAL global batch
+        # sequence (same split, same shuffle seed) — batch counts, bucketed
+        # shapes, and the per-batch MLPG R are then consistent across
+        # processes by construction, and DataParallelGanTrainer.put_batch
+        # uploads only each host's row shard.  Round-robin FILE sharding
+        # (an earlier design) desyncs batch counts and padded lengths
+        # between hosts, deadlocking the SPMD collectives.
+        ds = VCDataset(X[phase], Y[phase], data_mean, data_std)
         loaders[phase] = BatchIterator(
             ds, hp.batch_size, shuffle=(phase == "train"),
             bucket_multiple=hp.batch_bucket_multiple)
     return loaders, data_mean, data_std
-
-
-def _host_shard_lists(*lists):
-    """Multi-host DP data sharding: stats above are computed from the FULL
-    train split (identical on every host), but each host's loader feeds only
-    its round-robin shard of utterances (SURVEY.md section 2.4) — the mesh
-    assembles the global batch from the per-process shards."""
-    n, i = jax.process_count(), jax.process_index()
-    if n <= 1:
-        return lists if len(lists) > 1 else lists[0]
-    out = tuple(lst[i::n] for lst in lists)
-    return out if len(out) > 1 else out[0]
 
 
 def infer_tts_dims(hp, X_data_min, Y_data_mean):
@@ -113,8 +107,8 @@ def prepare_tts(X, Y, utt_lengths, hp, data_dir):
 
     loaders = {}
     for phase in ["train", "test"]:
-        Xp, Yp = _host_shard_lists(X[phase], Y[phase])
-        ds = TTSDataset(Xp, Yp, X_data_min, X_data_max,
+        # identical global batches on every host — see prepare_vc
+        ds = TTSDataset(X[phase], Y[phase], X_data_min, X_data_max,
                         Y_data_mean, Y_data_std,
                         recompute_deltas=hp.recompute_delta_features,
                         windows=hp.windows, stream_sizes=hp.stream_sizes,

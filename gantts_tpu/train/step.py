@@ -237,6 +237,13 @@ class GanTrainer:
         """Place a batch-independent operand (e.g. the MLPG matrix R)."""
         return jnp.asarray(a)
 
+    def place_states(self, *states):
+        """Place model/optimizer state pytrees before the first step.
+        Single-device: no-op (jit commits them); the data-parallel trainer
+        replicates them over the mesh (required under multi-host, where jit
+        cannot accept process-local arrays)."""
+        return states
+
     def step_fn(self, train: bool):
         """Return the jitted step for the given phase (compiled per shape)."""
         key = bool(train)

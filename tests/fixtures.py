@@ -197,3 +197,14 @@ def make_arctic_vc_corpus(root, num=12, fs=16000, seed=0):
                 join(root, f"cmu_us_{spk}_arctic", "wav",
                      f"arctic_a{i:04d}.wav"), fs, x)
     return root
+
+
+# hparams override strings shared by the e2e/demo subprocess tests: tiny
+# SRU generator + MLP discriminator (dims inferred at startup).
+SMALL_SRU = ("generator_params={'in_dim': None, 'out_dim': None,"
+             " 'num_hidden': 1, 'hidden_dim': 16, 'bidirectional': False,"
+             " 'dropout': 0.0, 'use_relu': 1, 'rnn_dropout': 0.0,"
+             " 'last_sigmoid': False}")
+SMALL_D = ("discriminator_params={'in_dim': None, 'out_dim': 1,"
+           " 'num_hidden': 1, 'hidden_dim': 8, 'dropout': 0.0,"
+           " 'last_sigmoid': True}")

@@ -12,15 +12,10 @@ import numpy as np
 
 REPO = dirname(dirname(os.path.abspath(__file__)))
 
-from tests.fixtures import make_arctic_vc_corpus, make_tts_corpus  # noqa: E402
+from tests.fixtures import (  # noqa: E402
+    SMALL_D, SMALL_SRU, make_arctic_vc_corpus, make_tts_corpus)
 
-SMALL_SRU = ("generator_params={'in_dim': None, 'out_dim': None,"
-             " 'num_hidden': 1, 'hidden_dim': 16, 'bidirectional': False,"
-             " 'dropout': 0.0, 'use_relu': 1, 'rnn_dropout': 0.0,"
-             " 'last_sigmoid': False},"
-             "discriminator_params={'in_dim': None, 'out_dim': 1,"
-             " 'num_hidden': 1, 'hidden_dim': 8, 'dropout': 0.0,"
-             " 'last_sigmoid': True},batch_size=4")
+SMALL_OVERRIDES = f"{SMALL_SRU},{SMALL_D},batch_size=4"
 
 
 def _run_demo(script, script_args, cwd, env_extra, timeout=2400):
@@ -63,7 +58,7 @@ def test_tts_demo_end_to_end(tmp_path):
               env_extra={
                   "DURATION_EPOCHS": "3", "ACOUSTIC_EPOCHS": "3",
                   "G_WARMUP": "1", "D_WARMUP": "1",
-                  "HPARAMS_EXTRA": SMALL_SRU,
+                  "HPARAMS_EXTRA": SMALL_OVERRIDES,
               })
     for kind in ("baseline", "gan"):
         _check_wavs(str(tmp_path / f"generated/tts_citest_{kind}"

@@ -190,9 +190,9 @@ def test_in2out_highway_first_return_is_trunk_output():
     p = variables["params"]
     h = x
     for i in range(2):
-        li = p[f"H_{i}"]["Dense_0"]
+        li = p[f"H_{i}"]
         h = leaky_relu(h @ li["kernel"] + li["bias"])
-    ll = p["last_linear"]["Dense_0"]
+    ll = p["last_linear"]
     h = h @ ll["kernel"] + ll["bias"]
     assert np.allclose(np.asarray(x_out), np.asarray(h), atol=1e-6)
 

@@ -187,3 +187,125 @@ def test_time_sharded_mlpg_matches_dense():
     y2 = np.asarray(jax.jit(lambda m: time_sharded_unit_variance_mlpg(
         m, windows, mesh))(u2_sh))
     assert np.abs(y2 - y_ref).max() < 5e-5
+
+
+_MULTIHOST_PROG = r'''
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:%d" % int(sys.argv[2]),
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, sys.argv[3])
+from gantts_tpu import hparams
+from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+from gantts_tpu.parallel import DataParallelGanTrainer, make_mesh
+from gantts_tpu.train import StepConfig
+from gantts_tpu.train.setup import init_models_and_states
+
+hp = hparams.vc.copy()
+hp.order = 9
+hp.stream_sizes = [27]
+hp.generator_params.update(in_dim=27, out_dim=27, static_dim=9,
+                           num_hidden=1, hidden_dim=16, dropout=0.0)
+hp.discriminator_params.update(in_dim=9, num_hidden=1, hidden_dim=8,
+                               dropout=0.0)
+model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.5, mge_w=1.0,
+                              update_d=True, update_g=True)
+mesh = make_mesh()  # all 4 global devices (2 per process)
+assert mesh.devices.size == 4, mesh.devices.size
+tr = DataParallelGanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                            np.zeros(27, np.float32), np.ones(27, np.float32),
+                            mesh=mesh)
+gstate, dstate = tr.place_states(gstate, dstate)
+
+# IDENTICAL global batch on both processes (the loader contract)
+B, T = 8, 64
+rs = np.random.RandomState(0)
+x = rs.rand(B, T, 27).astype(np.float32)
+y = rs.rand(B, T, 27).astype(np.float32)
+lengths = np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32)
+xs, ys, ls, _ = tr.put_batch(x, y, lengths)
+R = tr.put_replicated(np.asarray(unit_variance_mlpg_matrix(hp.windows, T),
+                                 np.float32))
+gstate, dstate, out = tr.step_fn(True)(
+    gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
+    jax.random.PRNGKey(7))
+out = {k: float(v) for k, v in jax.device_get(out).items()}
+print("RESULT" + json.dumps(out, sort_keys=True), flush=True)
+'''
+
+
+def test_multihost_two_process_cpu_cluster(tmp_path):
+    """REAL multi-host DP: two OS processes form a jax.distributed CPU
+    cluster (2 local devices each, Gloo collectives); both feed the
+    identical global batch through put_batch/place_states and must agree
+    on every step scalar — and match the in-process single-mesh step."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from os.path import dirname
+
+    REPO = dirname(dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _MULTIHOST_PROG, str(i), str(port), REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=REPO, env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out[-4000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert line, out[-2000:]
+        outs.append(json.loads(line[-1][len("RESULT"):]))
+
+    assert outs[0].keys() == outs[1].keys()
+    for k in outs[0]:
+        assert np.isfinite(outs[0][k]), (k, outs[0])
+        assert np.isclose(outs[0][k], outs[1][k], rtol=1e-6), \
+            (k, outs[0][k], outs[1][k])
+
+    # cross-check against the in-process step on a 4-device mesh
+    hp = hparams.vc.copy()
+    hp.order = 9
+    hp.stream_sizes = [27]
+    hp.generator_params.update(in_dim=27, out_dim=27, static_dim=9,
+                               num_hidden=1, hidden_dim=16, dropout=0.0)
+    hp.discriminator_params.update(in_dim=9, num_hidden=1, hidden_dim=8,
+                                   dropout=0.0)
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.5, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    mesh = make_mesh(4)
+    tr = DataParallelGanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                                np.zeros(27, np.float32),
+                                np.ones(27, np.float32), mesh=mesh)
+    gstate, dstate = tr.place_states(gstate, dstate)
+    B, T = 8, 64
+    rs = np.random.RandomState(0)
+    x = rs.rand(B, T, 27).astype(np.float32)
+    y = rs.rand(B, T, 27).astype(np.float32)
+    lengths = np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32)
+    xs, ys, ls, _ = tr.put_batch(x, y, lengths)
+    R = tr.put_replicated(np.asarray(
+        unit_variance_mlpg_matrix(hp.windows, T), np.float32))
+    _, _, ref = tr.step_fn(True)(
+        gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
+        jax.random.PRNGKey(7))
+    ref = {k: float(v) for k, v in jax.device_get(ref).items()}
+    for k, v in ref.items():
+        assert np.isclose(outs[0][k], v, rtol=2e-4, atol=1e-5), \
+            (k, outs[0][k], v)

@@ -21,19 +21,13 @@ import pytest
 
 REPO = dirname(dirname(os.path.abspath(__file__)))
 
-from tests.fixtures import make_tts_corpus  # noqa: E402
-
-SMALL_SRU = ("generator_params={'in_dim': None, 'out_dim': None,"
-             " 'num_hidden': 1, 'hidden_dim': 16, 'bidirectional': False,"
-             " 'dropout': 0.0, 'use_relu': 1, 'rnn_dropout': 0.0,"
-             " 'last_sigmoid': False}")
-SMALL_D = ("discriminator_params={'in_dim': None, 'out_dim': 1,"
-           " 'num_hidden': 1, 'hidden_dim': 8, 'dropout': 0.0,"
-           " 'last_sigmoid': True}")
+from tests.fixtures import SMALL_D, SMALL_SRU, make_tts_corpus  # noqa: E402
 
 
 def _run(args, timeout=900):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # GANTTS_TPU_PLATFORM is the reliable CPU pin (sitecustomize imports
+    # jax before JAX_PLATFORMS is honored — see CLAUDE.md)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", GANTTS_TPU_PLATFORM="cpu")
     r = subprocess.run([sys.executable] + args, capture_output=True,
                        text=True, cwd=REPO, env=env, timeout=timeout)
     assert r.returncode == 0, (args[0], r.stderr[-4000:])
