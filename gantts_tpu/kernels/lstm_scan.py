@@ -1,0 +1,334 @@
+"""Fused Pallas TPU kernel for the masked LSTM layer (the cuDNN-RNN slot).
+
+The reference runs its (bi)LSTM generators through cuDNN's fused RNN
+kernels (SURVEY.md §2.3: models.py:84, 100-112).  The pure-XLA port
+(models/recurrent.py) hoists the input projection into one big MXU matmul
+and runs the recurrence as ``lax.scan`` — correct, but each scan step pays
+XLA loop overhead around a tiny (B, 4H) body, measured ~6.3 us/step at
+B=20, H=512 (19.3 ms forward for a 3x512 biLSTM trunk).
+
+This kernel runs the whole recurrence as ONE Pallas grid over time:
+
+  * the recurrent weights W_hh live in VMEM for the entire scan;
+  * per timestep the kernel does the (B, H) x (H, 4H) recurrent matmul on
+    the MXU plus all gate math on the VPU, with the h/c carries held in
+    VMEM scratch across grid steps;
+  * masking (torch pack_padded semantics: carries freeze past each row's
+    length, outputs zero) is computed in-kernel from the length vector;
+  * the backward pass is classic BPTT, fused the same way: gates are
+    RECOMPUTED from xp and the stored trajectories (one extra MXU matmul
+    per step — cheaper than storing the 4H gate values), dW_hh and the
+    bias gradient accumulate directly into VMEM-resident f32 output blocks
+    across the whole grid, and the reverse-time adjoint carries (Dh, Dc)
+    stay in scratch;
+  * direction is handled by index maps (reverse traversal), so the
+    bidirectional stack needs NO time-flip materialization.
+
+I/O dtype follows the compute dtype (bf16 operands halve HBM traffic; all
+in-kernel math, both carries, the stored c trajectory, and the weight/bias
+gradients are f32).  W_hh enters the custom-vjp boundary in its parameter
+dtype (f32) so its cotangent is f32; the cast to the compute dtype happens
+inside, once, before the kernel.  Equivalence with the lax.scan oracle
+(forward and all gradients) is pinned in tests/test_kernels.py, interpret
+mode included.
+
+Gate order is torch's (i, f, g, o) — models/recurrent.py:48.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gantts_tpu.kernels.sru_scan import _on_tpu, _round_up
+
+_MAX_CHUNK = 16
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def _lstm_chunk(B, H, per_h_bytes, resident_bytes):
+    chunk = _MAX_CHUNK
+    while chunk > 1 and (2 * chunk * B * H * per_h_bytes + resident_bytes
+                         > _VMEM_BUDGET):
+        chunk //= 2
+    return chunk
+
+
+def _gates(xp_t, b_row, h_prev, whh):
+    """(B, 4H) gate values: xp + bias + h_prev @ W_hh, math in f32."""
+    f32 = jnp.float32
+    pre = xp_t.astype(f32) + b_row
+    pre = pre + jax.lax.dot_general(
+        h_prev.astype(whh.dtype), whh,
+        (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    H = h_prev.shape[-1]
+    i = jax.nn.sigmoid(pre[:, 0:H])
+    f = jax.nn.sigmoid(pre[:, H:2 * H])
+    g = jnp.tanh(pre[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(pre[:, 3 * H:4 * H])
+    return i, f, g, o
+
+
+def _lstm_fwd_kernel(rev, chunk, n_chunks,
+                     xp_ref, whh_ref, b_ref, len_ref,
+                     y_ref, c_ref, h_carry, c_carry):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_carry[...] = jnp.zeros_like(h_carry)
+        c_carry[...] = jnp.zeros_like(c_carry)
+
+    lv = len_ref[...]                 # (B, H) float lengths
+    f32 = jnp.float32
+    block = (n_chunks - 1 - t) if rev else t
+    whh = whh_ref[...]
+    b_row = b_ref[0].astype(f32)      # (4H,)
+
+    def body(i_loop, carry):
+        h, c = carry                  # f32 (B, H)
+        j = (chunk - 1 - i_loop) if rev else i_loop
+        s = block * chunk + j
+        m = (s < lv).astype(f32)
+        ig, fg, gg, og = _gates(xp_ref[j], b_row, h, whh)
+        c_new = fg * c + ig * gg
+        h_new = og * jnp.tanh(c_new)
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        y_ref[j] = (h_new * m).astype(y_ref.dtype)
+        c_ref[j] = c                  # true carry, f32
+        return h, c
+
+    h_carry[...], c_carry[...] = jax.lax.fori_loop(
+        0, chunk, body, (h_carry[...], c_carry[...]))
+
+
+def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
+                     xp_ref, whh_ref, b_ref, len_ref,
+                     y_ref, yp_ref, c_ref, cp_ref, gh_ref,
+                     dxp_ref, dwhh_ref, db_ref,
+                     dh_carry, dc_carry):
+    # Traverses the OPPOSITE direction of the forward pass.  yp/cp are the
+    # same y/c arrays viewed one block earlier in FORWARD-traversal order,
+    # for the chunk-boundary h_{t-1}/c_{t-1}.
+    rev = not layer_rev
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_carry[...] = jnp.zeros_like(dh_carry)
+        dc_carry[...] = jnp.zeros_like(dc_carry)
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    lv = len_ref[...]
+    f32 = jnp.float32
+    block = (n_chunks - 1 - t) if rev else t
+    whh = whh_ref[...]
+    b_row = b_ref[0].astype(f32)
+    H = dh_carry.shape[-1]
+    # forward-traversal-previous element: storage index t-1 for a forward
+    # layer, t+1 for a reverse layer; at the traversal start it is zeros
+    edge = 0 if layer_rev else chunk - 1  # its in-block index in yp/cp
+
+    def body(i_loop, carry):
+        dh, dc = carry                # f32 (B, H)
+        j = (chunk - 1 - i_loop) if rev else i_loop
+        s = block * chunk + j
+        m = (s < lv).astype(f32)
+        if layer_rev:
+            first = s == (n_chunks * chunk - 1)
+            jp = j + 1
+        else:
+            first = s == 0
+            jp = j - 1
+        in_chunk = jnp.logical_and(jp >= 0, jp < chunk)
+        jc = jnp.clip(jp, 0, chunk - 1)
+        h_prev = jnp.where(in_chunk, y_ref[jc].astype(f32),
+                           yp_ref[edge].astype(f32))
+        c_prev = jnp.where(in_chunk, c_ref[jc], cp_ref[edge])
+        h_prev = jnp.where(first, 0.0, h_prev)
+        c_prev = jnp.where(first, 0.0, c_prev)
+
+        ig, fg, gg, og = _gates(xp_ref[j], b_row, h_prev, whh)
+        c_new = fg * c_prev + ig * gg
+        tc = jnp.tanh(c_new)
+
+        da = m * (dh + gh_ref[j].astype(f32))
+        do_ = da * tc
+        dc_new = da * og * (1.0 - tc * tc) + m * dc
+        di = dc_new * gg
+        df = dc_new * c_prev
+        dg = dc_new * ig
+        dgi = di * ig * (1.0 - ig)
+        dgf = df * fg * (1.0 - fg)
+        dgg = dg * (1.0 - gg * gg)
+        dgo = do_ * og * (1.0 - og)
+        od = dxp_ref.dtype
+        dxp_ref[j, :, 0:H] = dgi.astype(od)
+        dxp_ref[j, :, H:2 * H] = dgf.astype(od)
+        dxp_ref[j, :, 2 * H:3 * H] = dgg.astype(od)
+        dxp_ref[j, :, 3 * H:4 * H] = dgo.astype(od)
+        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
+        db_ref[0, :] += jnp.sum(dgates, axis=0)
+        # dW_hh += h_{t-1}^T @ dgates, accumulated in the resident f32
+        # output block (zero extra scratch)
+        dwhh_ref[...] += jax.lax.dot_general(
+            h_prev.astype(whh.dtype), dgates.astype(whh.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        dh = (1.0 - m) * dh + jax.lax.dot_general(
+            dgates.astype(whh.dtype), whh,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        dc = (1.0 - m) * dc + dc_new * fg
+        return dh, dc
+
+    dh_carry[...], dc_carry[...] = jax.lax.fori_loop(
+        0, chunk, body, (dh_carry[...], dc_carry[...]))
+
+
+def _specs(T, B, H, chunk, rev, shift=0):
+    """Block specs; ``shift`` offsets the block index (clamped in-range) —
+    used for the boundary views of the stored trajectories."""
+    n_chunks = T // chunk
+
+    def idx(t):
+        k = (n_chunks - 1 - t) if rev else t
+        if shift:
+            k = jnp.clip(k + shift, 0, n_chunks - 1)
+        return (k, 0, 0)
+
+    xp_spec = pl.BlockSpec((chunk, B, 4 * H), idx, memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM)
+    return xp_spec, h_spec, n_chunks
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda t: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _cast_weights(whh, compute_dtype):
+    return whh.astype(compute_dtype) if whh.dtype != compute_dtype else whh
+
+
+def _fwd_call(xp, whh, b2d, len_bc, rev):
+    T, B, H4 = xp.shape
+    H = H4 // 4
+    whh_c = _cast_weights(whh, xp.dtype)
+    su = jnp.dtype(xp.dtype).itemsize
+    sw = jnp.dtype(whh_c.dtype).itemsize
+    resident = H * 4 * H * sw + 2 * B * H * 4
+    chunk = _lstm_chunk(B, H, 4 * su + su + 4, resident)
+    assert T % chunk == 0
+    xp_spec, h_spec, n_chunks = _specs(T, B, H, chunk, rev)
+    kern = partial(_lstm_fwd_kernel, rev, chunk, n_chunks)
+    return pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[xp_spec, _const_spec(whh_c.shape), _const_spec(b2d.shape),
+                  _const_spec(len_bc.shape)],
+        out_specs=[h_spec, h_spec],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), xp.dtype),
+                   jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=not _on_tpu(),
+    )(xp, whh_c, b2d, len_bc)
+
+
+def _bwd_call(xp, whh, b2d, len_bc, y, c, gh, layer_rev):
+    T, B, H4 = xp.shape
+    H = H4 // 4
+    whh_c = _cast_weights(whh, xp.dtype)
+    su = jnp.dtype(xp.dtype).itemsize
+    sw = jnp.dtype(whh_c.dtype).itemsize
+    sg = jnp.dtype(gh.dtype).itemsize
+    # resident: whh + the f32 dwhh/db output blocks + the adjoint carries
+    resident = H * 4 * H * (sw + 4) + 8 * 4 * H * 4 + 2 * B * H * 4
+    # pipeline blocks per timestep: xp, dxp (4H each), y x2, c x2 (f32), gh
+    per_h = 4 * su + 4 * su + 2 * su + 2 * 4 + sg
+    chunk = _lstm_chunk(B, H, per_h, resident)
+    assert T % chunk == 0
+    rev = not layer_rev  # traverse opposite to the forward pass
+    xp_spec, h_spec, n_chunks = _specs(T, B, H, chunk, rev)
+    # boundary views: one block earlier in FORWARD-traversal order
+    shift = +1 if layer_rev else -1
+    _, hp_spec, _ = _specs(T, B, H, chunk, rev, shift=shift)
+    kern = partial(_lstm_bwd_kernel, layer_rev, chunk, n_chunks)
+    dxp, dwhh, db = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[xp_spec, _const_spec(whh_c.shape), _const_spec(b2d.shape),
+                  _const_spec(len_bc.shape),
+                  h_spec, hp_spec, h_spec, hp_spec, h_spec],
+        out_specs=[xp_spec, _const_spec(whh_c.shape),
+                   _const_spec(b2d.shape)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), xp.dtype),
+                   jax.ShapeDtypeStruct(whh_c.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(b2d.shape, jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        interpret=not _on_tpu(),
+    )(xp, whh_c, b2d, len_bc, y, y, c, c, gh)
+    return dxp, dwhh, db[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_lstm_padded(xp, whh, b2d, len_bc, rev):
+    y, _ = _fwd_call(xp, whh, b2d, len_bc, rev)
+    return y
+
+
+def _fused_lstm_fwd(xp, whh, b2d, len_bc, rev):
+    y, c = _fwd_call(xp, whh, b2d, len_bc, rev)
+    return y, (xp, whh, b2d, len_bc, y, c)
+
+
+def _fused_lstm_bwd(rev, res, gh):
+    xp, whh, b2d, len_bc, y, c = res
+    dxp, dwhh, db = _bwd_call(xp, whh, b2d, len_bc, y, c, gh, rev)
+    db2d = jnp.zeros_like(b2d).at[0].set(db.astype(b2d.dtype))
+    return dxp, dwhh.astype(whh.dtype), db2d, jnp.zeros_like(len_bc)
+
+
+_fused_lstm_padded.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
+
+
+def fused_lstm_layer(xp, w_hh, bias, lengths, reverse=False):
+    """One full LSTM layer direction from pre-activations ``xp = x @ W_ih``.
+
+    xp: (T, B, 4H) time-major (torch gate order i, f, g, o), in the compute
+    dtype (bf16 I/O when the config runs bf16); w_hh: (H, 4H) in its
+    PARAMETER dtype (f32 — cotangent stays f32, the compute-dtype cast
+    happens inside); bias: (4H,) — the summed b_ih + b_hh, added IN-KERNEL
+    (gradient accumulated in-kernel too); lengths: (B,) int.  ``reverse``
+    runs the recurrence right-to-left via index maps (no flip
+    materialization).  Returns h: (T, B, H) in xp's dtype with padded
+    frames zeroed.
+    """
+    T, B, H4 = xp.shape
+    H = H4 // 4
+    Bp = _round_up(max(B, 1), 8)
+    Hp = _round_up(max(H, 1), 128)
+    Tp = _round_up(max(T, 1), _MAX_CHUNK)
+    if Hp != H:
+        xp = jnp.pad(xp.reshape(T, B, 4, H),
+                     ((0, 0), (0, 0), (0, 0), (0, Hp - H))
+                     ).reshape(T, B, 4 * Hp)
+        w_hh = jnp.pad(w_hh.reshape(H, 4, H),
+                       ((0, Hp - H), (0, 0), (0, Hp - H))
+                       ).reshape(Hp, 4 * Hp)
+        bias = jnp.pad(bias.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(-1)
+    if (Tp, Bp) != (T, B):
+        xp = jnp.pad(xp, ((0, Tp - T), (0, Bp - B), (0, 0)))
+    len_bc = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.float32)[:, None], (B, Hp))
+    if Bp != B:
+        len_bc = jnp.pad(len_bc, ((0, Bp - B), (0, 0)))
+    b2d = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (8, 4 * Hp))
+    y = _fused_lstm_padded(xp, w_hh, b2d, len_bc, bool(reverse))
+    return y[:T, :B, :H]

@@ -31,14 +31,21 @@ from gantts_tpu.models.common import (
 
 
 class LSTMLayer(nn.Module):
-    """Single-direction masked LSTM layer (torch gate order i, f, g, o)."""
+    """Single-direction masked LSTM layer (torch gate order i, f, g, o).
+
+    On TPU the recurrence runs as the fused Pallas kernel
+    (kernels/lstm_scan.py): recurrent matmul on the MXU with W_hh resident
+    in VMEM, in-kernel masking/bias, reverse direction via index maps (no
+    flip materialization).  Elsewhere the ``lax.scan`` below is the kernel's
+    numerical oracle (pinned in tests/test_kernels.py)."""
 
     hidden_dim: int
     compute_dtype: str = "float32"
+    reverse: bool = False
 
     @nn.compact
-    def __call__(self, x, mask):
-        # x: (B, T, D), mask: (B, T, 1)
+    def __call__(self, x, lengths):
+        # x: (B, T, D)
         B, T, D = x.shape
         H = self.hidden_dim
         bound = 1.0 / (H ** 0.5)
@@ -50,9 +57,29 @@ class LSTMLayer(nn.Module):
         b_ih = self.param("b_ih", init, (4 * H,))
         b_hh = self.param("b_hh", init, (4 * H,))
 
-        # (B, T, 4H), hoisted out of the scan (one big MXU matmul)
-        xp = matmul_cast(x, w_ih, self.compute_dtype) + (b_ih + b_hh)
+        # (B, T, 4H), hoisted out of the recurrence (one big MXU matmul)
+        xp = matmul_cast(x, w_ih, self.compute_dtype)
         cd = jnp.dtype(self.compute_dtype)
+
+        from gantts_tpu import kernels
+
+        if kernels.default_use_pallas():
+            xp_tm = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
+            if cd == jnp.bfloat16:
+                # bf16 kernel I/O (xp in, h out, dxp out) halves the
+                # dominant HBM traffic; in-kernel math and carries are f32
+                xp_tm = xp_tm.astype(cd)
+            y = kernels.fused_lstm_layer(xp_tm, w_hh, b_ih + b_hh, lengths,
+                                         reverse=self.reverse)
+            return jnp.swapaxes(y, 0, 1)
+
+        # ---- fallback: masked lax.scan (flips for reverse) ----------------
+        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
+        mask = mask[:, :, None]
+        xp = xp + (b_ih + b_hh)
+        if self.reverse:
+            xp = jnp.flip(xp, axis=1)
+            mask = jnp.flip(mask, axis=1)
         w_hh_c = w_hh.astype(cd)  # cast once, reused every scan step
 
         def step(carry, inputs):
@@ -74,7 +101,8 @@ class LSTMLayer(nn.Module):
         xp_tm = jnp.swapaxes(xp, 0, 1)      # (T, B, 4H)
         m_tm = jnp.swapaxes(mask, 0, 1)     # (T, B, 1)
         (_, _), ys = jax.lax.scan(step, (h0, c0), (xp_tm, m_tm))
-        return jnp.swapaxes(ys, 0, 1)       # (B, T, H)
+        ys = jnp.swapaxes(ys, 0, 1)         # (B, T, H)
+        return jnp.flip(ys, axis=1) if self.reverse else ys
 
 
 class StackedLSTM(nn.Module):
@@ -89,21 +117,18 @@ class StackedLSTM(nn.Module):
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         lengths = default_lengths(x, lengths)
-        T = x.shape[1]
-        mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
-        mask = mask[:, :, None]
-        # Flip-based backward direction (see models/sru.py): leading padding
-        # is inert because the masked scan freezes the (zero) carry there.
-        rev_mask = jnp.flip(mask, axis=1)
         out = x
         for layer in range(self.num_layers):
             fwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
-                            name=f"l{layer}_fwd")(out, mask)
+                            name=f"l{layer}_fwd")(out, lengths)
             if self.bidirectional:
+                # reverse direction handled inside the layer (index maps on
+                # TPU, flips in the scan fallback); leading padding is inert
+                # because the masked recurrence freezes the (zero) carry.
                 bwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
-                                name=f"l{layer}_bwd")(
-                    jnp.flip(out, axis=1), rev_mask)
-                out = jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
+                                reverse=True,
+                                name=f"l{layer}_bwd")(out, lengths)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:

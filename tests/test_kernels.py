@@ -184,3 +184,140 @@ def test_fused_sru_layer_bias_gradient():
     assert np.allclose(g1b[H:3 * H], g2b[H:3 * H], atol=1e-3), \
         np.abs(g1b[H:3 * H] - g2b[H:3 * H]).max()
     assert (g1b[:H] == 0).all() and (g1b[3 * H:] == 0).all()
+
+
+# ---------------- fused LSTM layer kernel (kernels/lstm_scan.py) ----------
+
+
+def _lstm_scan_oracle(xp, w_hh, bias, lengths, reverse, cd=None):
+    """The models/recurrent.py lax.scan body, as the kernel's oracle.
+    xp: (T, B, 4H) pre-activations WITHOUT bias."""
+    import jax
+    import jax.numpy as jnp
+
+    T, B, H4 = xp.shape
+    H = H4 // 4
+    cd = xp.dtype if cd is None else cd
+    mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
+    mask = mask[:, :, None]
+    xpb = xp.astype(jnp.float32) + bias
+    if reverse:
+        xpb = jnp.flip(xpb, 0)
+        mask = jnp.flip(mask, 0)
+    w_hh_c = w_hh.astype(cd)
+
+    def step(carry, inputs):
+        h, c = carry
+        xp_t, m_t = inputs
+        gates = xp_t + jnp.matmul(h.astype(cd), w_hh_c,
+                                  preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        h = m_t * h_new + (1.0 - m_t) * h
+        c = m_t * c_new + (1.0 - m_t) * c
+        return (h, c), h_new * m_t
+
+    h0 = jnp.zeros((B, H), jnp.float32)
+    (_, _), ys = jax.lax.scan(step, (h0, h0), (xpb, mask))
+    return jnp.flip(ys, 0) if reverse else ys
+
+
+def test_fused_lstm_layer_matches_scan():
+    """Fused Pallas LSTM (interpret mode on CPU) == masked lax.scan oracle:
+    forward and ALL gradients (dxp, dW_hh, dbias), both directions, ragged
+    lengths, H not a multiple of 128 and T not a multiple of the chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_lstm_layer
+
+    rs = np.random.RandomState(3)
+    T, B, H = 21, 3, 6
+    lengths = jnp.asarray(np.array([21, 13, 5], np.int32))
+    xp = jnp.asarray(rs.randn(T, B, 4 * H).astype(np.float32) * 0.5)
+    w_hh = jnp.asarray(rs.randn(H, 4 * H).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(4 * H).astype(np.float32) * 0.1)
+    tgt = jnp.asarray(rs.randn(T, B, H).astype(np.float32))
+
+    for reverse in (False, True):
+        y_ref = _lstm_scan_oracle(xp, w_hh, bias, lengths, reverse)
+        y_fused = fused_lstm_layer(xp, w_hh, bias, lengths, reverse=reverse)
+        assert np.allclose(np.asarray(y_fused), np.asarray(y_ref),
+                           atol=2e-5), reverse
+        # padded frames must be exactly zero
+        m = np.arange(T)[:, None] < np.asarray(lengths)[None, :]
+        assert (np.asarray(y_fused)[~m] == 0).all()
+
+        def loss_fused(xp, w_hh, bias):
+            y = fused_lstm_layer(xp, w_hh, bias, lengths, reverse=reverse)
+            return jnp.sum((y - tgt) ** 2)
+
+        def loss_ref(xp, w_hh, bias):
+            y = _lstm_scan_oracle(xp, w_hh, bias, lengths, reverse)
+            return jnp.sum((y - tgt) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(xp, w_hh, bias)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(xp, w_hh, bias)
+        for a, b, name in zip(gf, gr, ("dxp", "dw_hh", "dbias")):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=3e-4), \
+                (reverse, name, np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def test_lstm_layer_module_kernel_vs_fallback(monkeypatch):
+    """models/recurrent.py LSTMLayer must produce the same output and
+    parameter gradients through the Pallas path (interpret mode) and the
+    lax.scan fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu import kernels
+    from gantts_tpu.models.recurrent import StackedLSTM
+
+    rs = np.random.RandomState(0)
+    B, T, D, H = 3, 19, 7, 6
+    x = jnp.asarray(rs.randn(B, T, D).astype(np.float32))
+    lengths = jnp.asarray(np.array([19, 11, 4], np.int32))
+    m = StackedLSTM(hidden_dim=H, num_layers=2, bidirectional=True)
+    v = m.init(jax.random.PRNGKey(0), x, lengths)
+
+    def run():
+        out = m.apply(v, x, lengths, deterministic=True)
+        g = jax.grad(lambda v: jnp.sum(
+            m.apply(v, x, lengths, deterministic=True) ** 2))(v)
+        return out, g
+
+    monkeypatch.setattr(kernels, "default_use_pallas", lambda: True)
+    out_k, g_k = run()
+    monkeypatch.setattr(kernels, "default_use_pallas", lambda: False)
+    out_s, g_s = run()
+
+    assert np.allclose(np.asarray(out_k), np.asarray(out_s), atol=3e-5)
+    lk = jax.tree_util.tree_leaves(g_k)
+    ls = jax.tree_util.tree_leaves(g_s)
+    for a, b in zip(lk, ls):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3), \
+            np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_fused_lstm_layer_bf16_io():
+    """bf16 xp I/O: in-kernel math/carries stay f32, so the result must
+    track the f32 oracle to bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_lstm_layer
+
+    rs = np.random.RandomState(1)
+    T, B, H = 24, 4, 8
+    lengths = jnp.asarray(np.array([24, 18, 9, 2], np.int32))
+    xp = jnp.asarray(rs.randn(T, B, 4 * H).astype(np.float32) * 0.5)
+    w_hh = jnp.asarray(rs.randn(H, 4 * H).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(4 * H).astype(np.float32) * 0.1)
+
+    y_ref = _lstm_scan_oracle(xp, w_hh, bias, lengths, False)
+    y16 = fused_lstm_layer(xp.astype(jnp.bfloat16), w_hh, bias, lengths)
+    assert y16.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(y16, np.float32) - np.asarray(y_ref))
+    assert err.max() < 0.05, err.max()
