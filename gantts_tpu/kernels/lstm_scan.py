@@ -44,10 +44,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gantts_tpu.kernels.sru_scan import _on_tpu, _round_up
-
-_MAX_CHUNK = 16
-_VMEM_BUDGET = 11 * 1024 * 1024
+from gantts_tpu.kernels.sru_scan import (
+    _MAX_CHUNK,
+    _VMEM_BUDGET,
+    _on_tpu,
+    _round_up,
+)
 
 
 def _lstm_chunk(B, H, per_h_bytes, resident_bytes):
@@ -56,6 +58,21 @@ def _lstm_chunk(B, H, per_h_bytes, resident_bytes):
                          > _VMEM_BUDGET):
         chunk //= 2
     return chunk
+
+
+def kernel_feasible(B, H, compute_dtype):
+    """True if the fused kernel's RESIDENT working set (W_hh in the compute
+    dtype, the f32 dW_hh/db output blocks, the four carries) fits the VMEM
+    budget with at least a chunk-1 pipeline.  When it does not (very large
+    hidden_dim x batch), callers must use the lax.scan fallback — bottoming
+    out at chunk=1 would otherwise compile into an opaque Mosaic
+    scoped-vmem OOM."""
+    Bp = _round_up(max(B, 1), 8)
+    Hp = _round_up(max(H, 1), 128)
+    sw = jnp.dtype(compute_dtype).itemsize
+    resident = Hp * 4 * Hp * (sw + 4) + 8 * 4 * Hp * 4 + 4 * Bp * Hp * 4
+    per_h = 4 * sw + 4 * sw + 2 * sw + 2 * 4 + 4  # bwd pipeline, chunk 1
+    return 2 * 1 * Bp * Hp * per_h + resident <= _VMEM_BUDGET
 
 
 def _gates(xp_t, b_row, h_prev, whh):

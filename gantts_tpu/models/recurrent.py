@@ -62,8 +62,10 @@ class LSTMLayer(nn.Module):
         cd = jnp.dtype(self.compute_dtype)
 
         from gantts_tpu import kernels
+        from gantts_tpu.kernels import lstm_scan
 
-        if kernels.default_use_pallas():
+        if kernels.default_use_pallas() and lstm_scan.kernel_feasible(
+                B, H, cd):
             xp_tm = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
             if cd == jnp.bfloat16:
                 # bf16 kernel I/O (xp in, h out, dxp out) halves the

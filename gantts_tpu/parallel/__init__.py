@@ -123,8 +123,15 @@ class DataParallelGanTrainer(GanTrainer):
         the value is identical on every process (R matrices are built from
         the synchronized batch shapes), so materializing each host's
         addressable replicas from its local copy is a consistent global
-        array."""
+        array.  Device arrays short-circuit: already-correctly-placed
+        arrays pass through, fully-addressable ones move device-to-device
+        (no host round trip)."""
         sh = replicated(self.mesh)
+        if isinstance(a, jax.Array):
+            if a.sharding == sh:
+                return a
+            if a.is_fully_addressable and jax.process_count() == 1:
+                return jax.device_put(a, sh)
         a = np.asarray(a)
         return jax.make_array_from_callback(a.shape, sh,
                                             lambda idx: a[idx])

@@ -43,12 +43,32 @@ def save_checkpoint(state, epoch, checkpoint_dir, name):
     return checkpoint_path
 
 
+def _migrate_dense_scope(tree):
+    """Back-compat: TorchLinear used to wrap flax ``nn.Dense``, nesting its
+    kernel/bias one level deeper under a ``Dense_0`` scope.  Checkpoints
+    written before the direct-param change are flattened on load so old
+    models keep resuming/evaluating."""
+    if isinstance(tree, tuple):  # optax states (incl. namedtuples)
+        vals = [_migrate_dense_scope(v) for v in tree]
+        return type(tree)(*vals) if hasattr(tree, "_fields") \
+            else type(tree)(vals)
+    if isinstance(tree, list):
+        return [_migrate_dense_scope(v) for v in tree]
+    if not isinstance(tree, dict):
+        return tree
+    if set(tree.keys()) == {"Dense_0"} and isinstance(tree["Dense_0"], dict):
+        return dict(tree["Dense_0"])
+    return {k: _migrate_dense_scope(v) for k, v in tree.items()}
+
+
 def load_checkpoint(path):
     """Returns (params, opt_state_or_None, global_epoch)."""
     print(f"Load checkpoint from: {path}")
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    return (payload["state_dict"], payload.get("optimizer"),
+    opt = payload.get("optimizer")
+    return (_migrate_dense_scope(payload["state_dict"]),
+            _migrate_dense_scope(opt) if opt is not None else None,
             int(payload["global_epoch"]))
 
 

@@ -253,21 +253,32 @@ def test_multihost_two_process_cpu_cluster(tmp_path):
     from os.path import dirname
 
     REPO = dirname(dirname(os.path.abspath(__file__)))
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", _MULTIHOST_PROG, str(i), str(port), REPO],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        cwd=REPO, env=env) for i in range(2)]
+
+    def attempt():
+        # free-port probe is inherently racy (closed before the coordinator
+        # binds it) — the caller retries with a fresh port on failure
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", _MULTIHOST_PROG, str(i), str(port), REPO],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env) for i in range(2)]
+        texts = [p.communicate(timeout=600)[0] for p in procs]
+        if any(p.returncode != 0 for p in procs):
+            return None, texts
+        return texts, texts
+
+    for _ in range(3):
+        texts, raw = attempt()
+        if texts is not None:
+            break
+    assert texts is not None, raw[0][-2000:] + raw[1][-2000:]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        assert p.returncode == 0, out[-4000:]
+    for out in texts:
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
         assert line, out[-2000:]
         outs.append(json.loads(line[-1][len("RESULT"):]))

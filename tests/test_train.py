@@ -259,3 +259,31 @@ def test_vc_bf16_compute_tracks_f32(vc_corpus):
     assert m16[-1] < m16[0]  # it trains
     for a, b in zip(m32, m16):
         assert abs(a - b) < 0.05 * max(abs(a), 1e-3), (m32, m16)
+
+
+def test_checkpoint_migrates_old_dense_scope(tmp_path):
+    """Checkpoints written when TorchLinear wrapped nn.Dense (params nested
+    under a Dense_0 scope) must still load after the direct-param change."""
+    import pickle
+
+    from gantts_tpu.train.checkpoint import load_checkpoint
+
+    old_params = {
+        "H_0": {"Dense_0": {"kernel": np.ones((3, 4)), "bias": np.zeros(4)}},
+        "last_linear": {"Dense_0": {"kernel": np.ones((4, 2)),
+                                    "bias": np.zeros(2)}},
+    }
+    # optax-style optimizer state mirroring the old tree
+    old_opt = ({"mu": {"H_0": {"Dense_0": {"kernel": np.zeros((3, 4)),
+                                           "bias": np.zeros(4)}}}},)
+    path = str(tmp_path / "checkpoint_epoch1_Generator.pth")
+    with open(path, "wb") as f:
+        pickle.dump({"state_dict": old_params, "optimizer": old_opt,
+                     "global_epoch": 1}, f)
+
+    params, opt, epoch = load_checkpoint(path)
+    assert epoch == 1
+    assert set(params["H_0"].keys()) == {"kernel", "bias"}
+    assert set(params["last_linear"].keys()) == {"kernel", "bias"}
+    assert params["H_0"]["kernel"].shape == (3, 4)
+    assert set(opt[0]["mu"]["H_0"].keys()) == {"kernel", "bias"}
