@@ -16,6 +16,19 @@ from gantts_tpu.kernels.sru_scan import (  # noqa: F401
 
 
 def default_use_pallas():
+    """Fused Pallas kernels on TPU; scan formulations elsewhere.
+
+    ``GANTTS_TPU_DP_FALLBACK_SCAN=1`` forces the scan formulations even on
+    TPU — a safety valve for multi-chip pods: the sharded GAN step traces
+    and runs with the Pallas kernels under an Auto-axis mesh (pinned by
+    tests/test_parallel.py on the CPU mesh), but whether XLA partitions or
+    replicates the Mosaic custom call on real multi-chip hardware is
+    backend-version-dependent; the scan paths are fully GSPMD-partitionable.
+    """
+    import os
+
+    if os.environ.get("GANTTS_TPU_DP_FALLBACK_SCAN"):
+        return False
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except RuntimeError:  # no backend initialized

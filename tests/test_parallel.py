@@ -320,3 +320,52 @@ def test_multihost_two_process_cpu_cluster(tmp_path):
     for k, v in ref.items():
         assert np.isclose(outs[0][k], v, rtol=2e-4, atol=1e-5), \
             (k, outs[0][k], v)
+
+
+def test_dp_step_with_pallas_kernels_matches_fallback(monkeypatch):
+    """The sharded GAN step must trace/compile/run with the fused Pallas
+    kernels active (interpret mode on the CPU mesh) and reproduce the scan
+    fallback's scalars — pins that an Auto-axis mesh accepts the Mosaic
+    call and that sharding does not perturb the kernel numerics."""
+    from gantts_tpu import kernels
+
+    hp = hparams.tts_acoustic.copy()
+    hp.generator_params.update(
+        in_dim=30, out_dim=187, num_hidden=1, hidden_dim=16,
+        bidirectional=True, dropout=0.0, use_relu=1, rnn_dropout=0.0,
+        last_sigmoid=False)
+    hp.discriminator_params.update(in_dim=58 + 30, num_hidden=1,
+                                   hidden_dim=8, dropout=0.0)
+    cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    B, T = 8, 64
+    rs = np.random.RandomState(0)
+    x = rs.rand(B, T, 30).astype(np.float32)
+    y = rs.rand(B, T, 187).astype(np.float32)
+    lengths = np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32)
+    R = np.asarray(unit_variance_mlpg_matrix(hp.windows, T), np.float32)
+    mesh = make_mesh(8)
+
+    def run():
+        model_g, model_d, tx_g, tx_d, gstate, dstate = \
+            init_models_and_states(hp)
+        tr = DataParallelGanTrainer(
+            model_g, model_d, tx_g, tx_d, cfg, np.zeros(187, np.float32),
+            np.ones(187, np.float32), mesh=mesh)
+        gstate, dstate = tr.place_states(gstate, dstate)
+        xs, ys, ls, _ = tr.put_batch(x, y, lengths)
+        Rr = tr.put_replicated(R)
+        _, _, out = tr.step_fn(True)(
+            gstate, dstate, None, xs, ys, ls, Rr, None,
+            jnp.float32(0.7), jax.random.PRNGKey(7))
+        return {k: float(v) for k, v in jax.device_get(out).items()}
+
+    monkeypatch.setattr(kernels, "default_use_pallas", lambda: True)
+    out_k = run()
+    monkeypatch.setattr(kernels, "default_use_pallas", lambda: False)
+    out_s = run()
+    for k in out_s:
+        # f0_rmse is NaN/NaN on random data (no voiced frames) — equal_nan
+        assert np.isclose(out_k[k], out_s[k], rtol=5e-4, atol=1e-4,
+                          equal_nan=True), (k, out_k[k], out_s[k])
+    assert np.isfinite(out_s["generator"]) and np.isfinite(out_s["mge"])

@@ -156,6 +156,24 @@ def main():
     rows.append(("G optimizer update", timed(opt_fn, g_grads, gs.opt_state,
                                              gs.params)))
 
+    # LSTM trunk (the cuDNN-slot family: LSTMRNN/GRURNN/In2OutRNNHighwayNet)
+    from gantts_tpu.models.recurrent import StackedLSTM
+
+    lstm = StackedLSTM(hp.generator_params["hidden_dim"], 3,
+                       bidirectional=True, compute_dtype=hp.compute_dtype)
+    lx = x[..., :512] if x.shape[-1] >= 512 else x
+    lstm_vars = lstm.init(jr.PRNGKey(0), lx, lengths)
+    lfwd = jax.jit(lambda v: lstm.apply(v, lx, lengths, deterministic=True))
+    rows.append(("LSTM trunk 3x fwd", timed(lfwd, lstm_vars)))
+
+    def l_loss(v):
+        return jnp.sum(lstm.apply(v, lx, lengths,
+                                  deterministic=True).astype(jnp.float32)
+                       ** 2)
+
+    lbwd = jax.jit(jax.grad(l_loss))
+    rows.append(("LSTM trunk 3x fwd+bwd", timed(lbwd, lstm_vars)))
+
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(gs.params))
     print(f"\nG params: {n_params/1e6:.1f}M   B={B} T={T}")
