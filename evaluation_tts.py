@@ -54,6 +54,10 @@ def main(argv=None):
                         "exposes a flag for it)")
     p.add_argument("--hparams_acoustic", default="")
     p.add_argument("--hparams_duration", default="")
+    p.add_argument("--workers", type=int, default=1,
+                   help="thread-pool fan-out over labels (the host vocoder "
+                        "chain releases the GIL; device forwards "
+                        "interleave) — the reference is strictly serial")
     args = p.parse_args(argv)
 
     from gantts_tpu import hparams
@@ -100,20 +104,30 @@ def main(argv=None):
     eval_files = get_lab_files(args.data_dir, args.labels_dir, test=False)
     test_files = get_lab_files(args.data_dir, args.labels_dir, test=True)
 
-    generated_mgc = []
-    for dst_dir, files in [(eval_dir, eval_files), (test_dir, test_files)]:
-        for label_path in files:
-            print(dst_dir, label_path)
-            name = splitext(basename(label_path))[0]
-            waveform, mgc, lf0, vuv, bap = tts_from_label(
-                models, variables, label_path, X_min, X_max, Y_mean, Y_std,
-                hp_duration, hp_acoustic, binary_dict, continuous_dict,
-                apply_duration_model=not args.disable_duration_gen,
-                post_filter=args.post_filter, fs=args.fs,
-                mge_training=not args.true_variance_mlpg)
-            generated_mgc.append(np.asarray(mgc))
-            wavfile.write(join(dst_dir, name + ".wav"), args.fs,
-                          waveform.astype(np.int16))
+    def process(dst_dir, label_path):
+        print(dst_dir, label_path)
+        name = splitext(basename(label_path))[0]
+        waveform, mgc, lf0, vuv, bap = tts_from_label(
+            models, variables, label_path, X_min, X_max, Y_mean, Y_std,
+            hp_duration, hp_acoustic, binary_dict, continuous_dict,
+            apply_duration_model=not args.disable_duration_gen,
+            post_filter=args.post_filter, fs=args.fs,
+            mge_training=not args.true_variance_mlpg)
+        wavfile.write(join(dst_dir, name + ".wav"), args.fs,
+                      waveform.astype(np.int16))
+        return np.asarray(mgc)
+
+    jobs = [(dst_dir, path)
+            for dst_dir, files in [(eval_dir, eval_files),
+                                   (test_dir, test_files)]
+            for path in files]
+    if args.workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.workers) as ex:
+            generated_mgc = list(ex.map(lambda j: process(*j), jobs))
+    else:
+        generated_mgc = [process(*j) for j in jobs]
 
     # GV / modulation-spectrum quality report (reference notebook analyses
     # as machine-checkable eval output; see evaluation_vc.py).

@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--diffvc", action="store_true")
     p.add_argument("--hparams", default="",
                    help="hparams overrides (vc bundle)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="thread-pool fan-out over utterances (the host "
+                        "WORLD/MLSA chain releases the GIL; device forwards "
+                        "interleave) — the reference is strictly serial")
     args = p.parse_args(argv)
 
     from gantts_tpu import hparams
@@ -70,21 +74,31 @@ def main(argv=None):
     eval_files = get_wav_files(args.data_dir, args.wav_dir, test=False)
     test_files = get_wav_files(args.data_dir, args.wav_dir, test=True)
 
-    generated_feats = []
-    for dst_dir, files in [(eval_dir, eval_files), (test_dir, test_files)]:
-        for path in files:
-            print(dst_dir, path)
-            name = splitext(basename(path))[0]
-            fs, x = wavfile.read(path)
-            waveform, _, outputs = vc_from_waveform(
-                model, params, x.astype(np.float64), fs, data_mean, data_std,
-                hp, diffvc=args.diffvc)
-            generated_feats.append(np.asarray(outputs))
-            peak = np.max(np.abs(waveform))
-            if peak > 32767:
-                waveform = waveform / peak * 32767 * 0.99
-            wavfile.write(join(dst_dir, name + ".wav"), fs,
-                          waveform.astype(np.int16))
+    def process(dst_dir, path):
+        print(dst_dir, path)
+        name = splitext(basename(path))[0]
+        fs, x = wavfile.read(path)
+        waveform, _, outputs = vc_from_waveform(
+            model, params, x.astype(np.float64), fs, data_mean, data_std,
+            hp, diffvc=args.diffvc)
+        peak = np.max(np.abs(waveform))
+        if peak > 32767:
+            waveform = waveform / peak * 32767 * 0.99
+        wavfile.write(join(dst_dir, name + ".wav"), fs,
+                      waveform.astype(np.int16))
+        return np.asarray(outputs)
+
+    jobs = [(dst_dir, path)
+            for dst_dir, files in [(eval_dir, eval_files),
+                                   (test_dir, test_files)]
+            for path in files]
+    if args.workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.workers) as ex:
+            generated_feats = list(ex.map(lambda j: process(*j), jobs))
+    else:
+        generated_feats = [process(*j) for j in jobs]
 
     # GV / modulation-spectrum report (the reference publishes these as
     # notebook plots, notebooks/Test VC.ipynb; here they are first-class

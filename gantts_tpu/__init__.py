@@ -16,4 +16,15 @@ Layers (SURVEY.md section 7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GANTTS_TPU_PLATFORM"):
+    # Reliable platform pin for EVERY entry point (eval/prep CLIs included,
+    # not just train.py): plain JAX_PLATFORMS can be ignored here because
+    # sitecustomize imports jax first (CLAUDE.md trap).  config.update works
+    # any time before the first backend initialization.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["GANTTS_TPU_PLATFORM"])
+
 from gantts_tpu import core  # noqa: F401

@@ -369,3 +369,19 @@ def test_native_harvest_dio_match_python(monkeypatch):
         assert both.mean() > 0.5, "fixture mostly voiced on both paths"
         assert ((cc > 0) != (py > 0)).mean() < 0.02
         np.testing.assert_allclose(cc[both], py[both], rtol=1e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_non_pow2_fft_size_falls_back_to_numpy():
+    """The C++ engine's FFT is radix-2 only: an explicit non-power-of-two
+    fft_size (legal for the np.fft oracle) must take the NumPy path and
+    still produce a correct envelope."""
+    if not native.has_analysis():
+        pytest.skip("library built without the analysis engine")
+    x, f0, tp, fs = _analysis_fixture(dur=0.4)
+    sp = world.cheaptrick(x, f0, tp, fs, fft_size=1000)
+    assert sp.shape[1] == 1000 // 2 + 1
+    assert np.isfinite(sp).all() and (sp > 0).all()
+    # spectral peak should sit near the fundamental's harmonics region,
+    # i.e. the envelope is not garbage
+    assert sp[20].max() / sp[20].mean() > 2.0
