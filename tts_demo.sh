@@ -41,7 +41,7 @@ bash $SCRIPT_DIR/train_gan.sh tts_acoustic "$HPARAMS_EXTRA" \
 
 # 3. Synthesize: baseline vs GAN
 for kind in baseline gan; do
-    $PYTHON $SCRIPT_DIR/evaluation_tts.py --post-filter \
+    $PYTHON $SCRIPT_DIR/evaluation_tts.py --post-filter --workers=${EVAL_WORKERS:-4} \
         --hparams_acoustic="$HPARAMS_EXTRA" \
         --hparams_duration="$HPARAMS_EXTRA" \
         $CKPT/acoustic/$kind/checkpoint_epoch${ACOUSTIC_EPOCHS}_Generator.pth \

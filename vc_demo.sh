@@ -36,7 +36,7 @@ bash $SCRIPT_DIR/train_gan.sh vc "$HPARAMS_EXTRA" $DATA_DIR/X $DATA_DIR/Y $CKPT 
 
 # 3. Synthesize evaluation + test sets, baseline vs GAN, DIFFVC mode
 for kind in baseline gan; do
-    $PYTHON $SCRIPT_DIR/evaluation_vc.py --diffvc \
+    $PYTHON $SCRIPT_DIR/evaluation_vc.py --diffvc --workers=${EVAL_WORKERS:-4} \
         --hparams="$HPARAMS_EXTRA" \
         $CKPT/$kind/checkpoint_epoch${TOTAL_EPOCH}_Generator.pth \
         $DATA_DIR $DATA_ROOT/cmu_us_clb_arctic/wav \
