@@ -41,10 +41,14 @@ def _check_wavs(pattern, minimum=1):
 def test_vc_demo_end_to_end(tmp_path):
     corpus = str(tmp_path / "arctic")
     make_arctic_vc_corpus(corpus, num=12)
+    # nepoch=999 in HPARAMS_EXTRA is a regression guard: stage-critical
+    # nepoch (train_gan.sh) must override user hparams, or the curriculum
+    # trains 999 epochs and the checkpoint handoff contract breaks.
     _run_demo("vc_demo.sh", ["citest", corpus], cwd=str(tmp_path),
               env_extra={
                   "MAX_FILES": "12", "TOTAL_EPOCH": "3",
                   "G_WARMUP": "1", "D_WARMUP": "1",
+                  "HPARAMS_EXTRA": "nepoch=999",
               })
     for kind in ("baseline", "gan"):
         _check_wavs(str(tmp_path / f"generated/vc_citest_{kind}"

@@ -385,3 +385,25 @@ def test_non_pow2_fft_size_falls_back_to_numpy():
     # spectral peak should sit near the fundamental's harmonics region,
     # i.e. the envelope is not garbage
     assert sp[20].max() / sp[20].mean() > 2.0
+
+
+def test_analysis_edge_cases_do_not_crash():
+    """Tiny, silent, and extreme inputs must flow through the whole
+    analysis chain (C++ or NumPy path alike) without crashing — guards the
+    native engine's segment/lag boundary handling."""
+    for fs in (8000, 16000):
+        for x in (np.zeros(fs // 50),                       # 20 ms silence
+                  np.random.RandomState(0).randn(fs // 100),  # 10 ms noise
+                  np.sin(2 * np.pi * 790.0 / fs
+                         * np.arange(fs // 4))):            # near f0_ceil
+            x = np.asarray(x, dtype=np.float64)
+            f0, tp = world.dio(x, fs)
+            f0h, tph = world.harvest(x, fs)
+            for f, t in ((f0, tp), (f0h, tph)):
+                assert np.isfinite(f).all()
+                sp = world.cheaptrick(x, f, t, fs)
+                ap = world.d4c(x, f, t, fs)
+                assert np.isfinite(sp).all() and (sp > 0).all()
+                assert ((ap > 0) & (ap <= 1)).all()
+                y = world.synthesize(f, sp, ap, fs)
+                assert np.isfinite(y).all()

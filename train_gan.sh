@@ -48,7 +48,7 @@ ckpt() { echo "$1/checkpoint_epoch$2_$3.pth"; }
 # 1. Baseline (MGE only, full epochs)
 if [ "$RUN_BASELINE" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="nepoch=$TOTAL_EPOCH,$HPARAMS" \
+        --hparams="$HPARAMS,nepoch=$TOTAL_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/baseline \
         --w_d=0 --mge_w=1.0 \
         $INPUTS_DIR $OUTPUTS_DIR
@@ -57,7 +57,7 @@ fi
 # 2. Generator warmup (MGE only)
 if [ "$RUN_GENERATOR_WARMUP" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="nepoch=$GENERATOR_WARMUP_EPOCH,$HPARAMS" \
+        --hparams="$HPARAMS,nepoch=$GENERATOR_WARMUP_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --w_d=0 --mge_w=1.0 \
         $INPUTS_DIR $OUTPUTS_DIR
@@ -66,7 +66,7 @@ fi
 # 3. Discriminator warmup (G frozen, from the G-warmup checkpoint)
 if [ "$RUN_DISCRIMINATOR_WARMUP" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="nepoch=$DISCRIMINATOR_WARMUP_EPOCH,$HPARAMS" \
+        --hparams="$HPARAMS,nepoch=$DISCRIMINATOR_WARMUP_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
         --discriminator-warmup --w_d=1.0 --restart_epoch=0 \
@@ -76,7 +76,7 @@ fi
 # 4. Optional spoofing reference discriminator (vs the baseline G)
 if [ "$RUN_SPOOFING_MODEL" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="nepoch=$SPOOFING_TOTAL_EPOCH,$HPARAMS" \
+        --hparams="$HPARAMS,nepoch=$SPOOFING_TOTAL_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/spoofing_model \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/baseline $TOTAL_EPOCH Generator) \
         --discriminator-warmup --w_d=1.0 --restart_epoch=0 \
@@ -89,7 +89,7 @@ fi
 # 5. Joint adversarial training from both warmup checkpoints
 if [ "$RUN_ADVERSARIAL" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="nepoch=$TOTAL_EPOCH,$HPARAMS" \
+        --hparams="$HPARAMS,nepoch=$TOTAL_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
         --checkpoint-d=$(ckpt $CHECKPOINT_DIR/gan $DISCRIMINATOR_WARMUP_EPOCH Discriminator) \
