@@ -54,6 +54,22 @@ from gantts_tpu.train import metrics as M
 EPS = 1e-20  # reference train.py:246, 285
 
 
+def _safe_log(p):
+    """log(max(p, EPS)) — the reassociation-proof form of the reference's
+    ``log(p + eps)`` (train.py:269-270, 303).
+
+    ``log(1 - D + EPS)`` is NOT safe under jit: XLA may reassociate the
+    constants into ``(1 + EPS) - D == 1.0 - D``, which is exactly 0 when a
+    warmed-up discriminator saturates to sigmoid(z) == 1.0 in f32 — the
+    first adversarial step then emits -inf -> NaN params (observed; eager
+    execution of the same graph is finite).  Clamping instead is bit-equal
+    to the reference for every f32 value of D (the f32 ulp near 1 is ~6e-8,
+    so adding 1e-20 never changes a non-saturated value) and its VJP is 0
+    in the clamped region, which also removes the 1/EPS gradient spike.
+    """
+    return jnp.log(jnp.maximum(p, EPS))
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -307,8 +323,8 @@ class GanTrainer:
                                        rng_dr)
                 B0 = y_adv.shape[0]
                 D_real, D_fake = D_both[:B0], D_both[B0:]
-                loss_real = -jnp.sum(jnp.log(D_real + EPS) * mask) / Tm
-                loss_fake = -jnp.sum(jnp.log(1 - D_fake + EPS) * mask) / Tm
+                loss_real = -jnp.sum(_safe_log(D_real) * mask) / Tm
+                loss_fake = -jnp.sum(_safe_log(1 - D_fake) * mask) / Tm
                 real_cc = jnp.sum((D_real > 0.5).astype(jnp.float32) * mask)
                 fake_cc = jnp.sum((D_fake < 0.5).astype(jnp.float32) * mask)
                 return loss_real + loss_fake, (loss_real, loss_fake,
@@ -341,7 +357,7 @@ class GanTrainer:
                         yh = jnp.concatenate([x, yh], axis=-1)
                     D_fake_g = self._apply_d(dstate.params, yh, lengths,
                                              train, rng_dg)
-                    loss_adv = -jnp.sum(jnp.log(D_fake_g + EPS) * mask) / Tm
+                    loss_adv = -jnp.sum(_safe_log(D_fake_g) * mask) / Tm
                 else:
                     loss_adv = jnp.float32(0.0)
                 loss_g = (cfg.mse_w * loss_mse + cfg.mge_w * loss_mge

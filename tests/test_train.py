@@ -261,6 +261,59 @@ def test_vc_bf16_compute_tracks_f32(vc_corpus):
         assert abs(a - b) < 0.05 * max(abs(a), 1e-3), (m32, m16)
 
 
+def test_saturated_discriminator_step_is_finite(vc_corpus):
+    """A warmed-up D that saturates to sigmoid == 1.0 exactly (f32) must not
+    produce non-finite losses or params in the jitted adversarial step.
+
+    Regression: ``log(1 - D + EPS)`` let XLA reassociate the constants into
+    ``(1 + EPS) - D == 1.0 - D`` under jit, so the first adversarial step
+    after D-warmup emitted -inf -> NaN params (eager was finite).  The step
+    now uses ``log(max(p, EPS))``, which no rewrite can break."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.setup import (
+        init_models_and_states, load_arrays, prepare_vc)
+
+    hp = _small_vc_hp()
+    X, Y, lens = load_arrays(join(vc_corpus, "X"), join(vc_corpus, "Y"))
+    loaders, Y_mean, Y_std = prepare_vc(X, Y, lens, hp, vc_corpus)
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+
+    # Saturate D: huge final bias -> sigmoid(z) rounds to exactly 1.0 in f32
+    # on every frame, real and fake alike.
+    dparams = jax.tree.map(lambda a: a, dstate.params)  # shallow copy
+    bias = dparams["params"]["last_linear"]["bias"]
+    dparams["params"]["last_linear"]["bias"] = jnp.full_like(bias, 100.0)
+    dstate = dstate.replace(params=dparams)
+
+    cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std,
+                         windows=hp.windows)
+    step = trainer.step_fn(True)
+
+    x, y, lengths = next(iter(loaders["train"]))
+    T = x.shape[1]
+    R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T), jnp.float32)
+    g2, d2, out = step(gstate, dstate, None, jnp.asarray(x), jnp.asarray(y),
+                       jnp.asarray(lengths), R, None, jnp.float32(1.0),
+                       jax.random.PRNGKey(0))
+    out = jax.device_get(out)
+    bad = {k: v for k, v in out.items()
+           if np.asarray(v).dtype.kind == "f"
+           and not np.isfinite(np.asarray(v)).all()}
+    assert not bad, f"non-finite step outputs with saturated D: {bad}"
+    for state, name in ((g2, "G"), (d2, "D")):
+        for p, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+            a = np.asarray(leaf)
+            if a.dtype.kind == "f":
+                assert np.isfinite(a).all(), \
+                    f"{name} param NaN at {jax.tree_util.keystr(p)}"
+
+
 def test_checkpoint_migrates_old_dense_scope(tmp_path):
     """Checkpoints written when TorchLinear wrapped nn.Dense (params nested
     under a Dense_0 scope) must still load after the direct-param change."""
