@@ -117,21 +117,17 @@ def main(argv=None):
                       waveform.astype(np.int16))
         return np.asarray(mgc)
 
+    from gantts_tpu.utils.analysis import (
+        run_utterance_jobs, write_analysis_report)
+
     jobs = [(dst_dir, path)
             for dst_dir, files in [(eval_dir, eval_files),
                                    (test_dir, test_files)]
             for path in files]
-    if args.workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=args.workers) as ex:
-            generated_mgc = list(ex.map(lambda j: process(*j), jobs))
-    else:
-        generated_mgc = [process(*j) for j in jobs]
+    generated_mgc = run_utterance_jobs(process, jobs, args.workers)
 
     # GV / modulation-spectrum quality report (reference notebook analyses
-    # as machine-checkable eval output; see evaluation_vc.py).
-    from evaluation_vc import write_analysis_report
+    # as machine-checkable eval output).
 
     K = len(hp_acoustic.windows)
     write_analysis_report(

@@ -88,17 +88,14 @@ def main(argv=None):
                       waveform.astype(np.int16))
         return np.asarray(outputs)
 
+    from gantts_tpu.utils.analysis import (
+        run_utterance_jobs, write_analysis_report)
+
     jobs = [(dst_dir, path)
             for dst_dir, files in [(eval_dir, eval_files),
                                    (test_dir, test_files)]
             for path in files]
-    if args.workers > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=args.workers) as ex:
-            generated_feats = list(ex.map(lambda j: process(*j), jobs))
-    else:
-        generated_feats = [process(*j) for j in jobs]
+    generated_feats = run_utterance_jobs(process, jobs, args.workers)
 
     # GV / modulation-spectrum report (the reference publishes these as
     # notebook plots, notebooks/Test VC.ipynb; here they are first-class
@@ -108,43 +105,6 @@ def main(argv=None):
         natural_dir=join(args.data_dir, "Y"), static_dim=hp.order,
         modfs=1000.0 / hp.frame_period)
     return 0
-
-
-def write_analysis_report(path, generated, natural_dir, static_dim, modfs):
-    """GV + modulation-spectrum comparison of generated statics vs the
-    natural training targets (utils/analysis.py cores)."""
-    import json
-
-    from gantts_tpu.utils.analysis import global_variance, modulation_spectrum
-
-    report = {}
-    if generated:
-        gen = [g[:, :static_dim] for g in generated]
-        report["gv_generated_mean"] = float(
-            np.mean(global_variance(gen)))
-        freqs, ms = modulation_spectrum(gen, modfs)
-        hi = (freqs >= 25.0) & (freqs <= 50.0)
-        report["modspec_generated_hi_band_db"] = float(
-            10.0 / np.log(10.0) * np.mean(ms[hi]))
-    try:
-        from glob import glob
-
-        nat = [np.load(f)[:, :static_dim]
-               for f in sorted(glob(join(natural_dir, "*.npy")))[:50]]
-        if nat:
-            report["gv_natural_mean"] = float(np.mean(global_variance(nat)))
-            freqs, ms = modulation_spectrum(nat, modfs)
-            hi = (freqs >= 25.0) & (freqs <= 50.0)
-            report["modspec_natural_hi_band_db"] = float(
-                10.0 / np.log(10.0) * np.mean(ms[hi]))
-            if "gv_generated_mean" in report:
-                report["gv_ratio"] = (report["gv_generated_mean"]
-                                      / max(report["gv_natural_mean"], 1e-30))
-    except (OSError, ValueError):
-        pass
-    with open(path, "w") as f:
-        json.dump(report, f, indent=2)
-    print("analysis ->", path, report)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from os.path import dirname, exists, join
 
 import numpy as np
@@ -23,6 +24,10 @@ _LIB_PATHS = [
 
 _lib = None
 _tried = False
+# Eval CLIs fan work out over threads (--workers); first use would otherwise
+# race the auto-build (subprocess.run releases the GIL) and could CDLL a
+# half-written .so.
+_load_lock = threading.Lock()
 
 
 def _build():
@@ -43,7 +48,16 @@ def _load():
     global _lib, _tried
     if _tried:
         return _lib
-    _tried = True
+    with _load_lock:
+        if _tried:  # another thread finished while we waited
+            return _lib
+        lib = _load_locked()
+        _lib = lib
+        _tried = True
+        return _lib
+
+
+def _load_locked():
     for p in _LIB_PATHS:
         if exists(p):
             break
@@ -113,8 +127,7 @@ def _load():
     except AttributeError:  # stale library build without the analysis engine
         lib.ncc_refine = None
 
-    _lib = lib
-    return _lib
+    return lib
 
 
 def available() -> bool:

@@ -665,7 +665,6 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
     fft_size = (n_bins - 1) * 2
     hop = fs * frame_period / 1000.0
     N = int(T * hop)
-    out = np.zeros(N + 2 * fft_size)
 
     rs = np.random.RandomState(12345)
 
@@ -682,6 +681,8 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
         noise_w = rs.randn(T, win_len) * win[None, :]
         return native.world_synthesize(f0, sp, ap, fs, frame_period,
                                        noise_w, N)
+
+    out = np.zeros(N + 2 * fft_size)
 
     if native.available():
         def _ola(ir, offset, gain):

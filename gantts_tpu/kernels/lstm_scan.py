@@ -49,15 +49,12 @@ from gantts_tpu.kernels.sru_scan import (
     _VMEM_BUDGET,
     _on_tpu,
     _round_up,
+    fit_chunk as _lstm_chunk_impl,
 )
 
 
 def _lstm_chunk(B, H, per_h_bytes, resident_bytes):
-    chunk = _MAX_CHUNK
-    while chunk > 1 and (2 * chunk * B * H * per_h_bytes + resident_bytes
-                         > _VMEM_BUDGET):
-        chunk //= 2
-    return chunk
+    return _lstm_chunk_impl(per_h_bytes, B, H, resident_bytes)
 
 
 def kernel_feasible(B, H, compute_dtype):

@@ -50,17 +50,26 @@ _MAX_CHUNK = 16  # timesteps per grid step (amortizes grid/pipeline overhead)
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB VMEM limit
 
 
-def _pick_chunk(B, H, dtype_bytes=4):
-    """Largest power-of-two chunk whose pipelined blocks fit in VMEM.
+def fit_chunk(per_h_bytes, B, H, resident_bytes=0):
+    """Largest power-of-two timestep chunk (<= _MAX_CHUNK) that fits VMEM.
 
-    Per grid step the pipeline holds ~2x (double buffering) of the three
-    (chunk, B, H) blocks plus the (B, H) carry; oversized blocks fail at
-    compile time with a scoped-vmem OOM (seen at B=96, H=512, chunk=16).
+    Per grid step the pipeline double-buffers (x2) every (chunk, B, H*k)
+    block — ``per_h_bytes`` sums the bytes of all H-wide lanes held per
+    timestep — plus any grid-resident scratch (``resident_bytes``, e.g. a
+    VMEM-resident W_hh).  Oversized blocks fail at compile time with a
+    Mosaic scoped-vmem OOM (seen at B=96, H=512, chunk=16), so every
+    kernel in this package sizes its chunk through this one budget.
     """
     chunk = _MAX_CHUNK
-    while chunk > 1 and 6 * chunk * B * H * dtype_bytes > _VMEM_BUDGET:
+    while chunk > 1 and (2 * chunk * B * H * per_h_bytes + resident_bytes
+                         > _VMEM_BUDGET):
         chunk //= 2
     return chunk
+
+
+def _pick_chunk(B, H, dtype_bytes=4):
+    # plain linear-recurrence kernel: three (chunk, B, H) blocks per step
+    return fit_chunk(3 * dtype_bytes, B, H)
 
 
 def _fwd_kernel(f_ref, b_ref, o_ref, c_ref):
@@ -301,22 +310,14 @@ def _fused_specs(T, B, H, chunk, rev):
     return u_spec, h_spec, len_spec, b_spec, n_chunks
 
 
-_FUSED_VMEM_BUDGET = 12 * 1024 * 1024  # scoped-vmem limit is 16 MB; leave room
-
-
 def _fused_chunk(B, H, per_h_bytes):
-    """Largest power-of-two chunk fitting the pipeline in scoped VMEM.
+    """Chunk for the fused-layer kernels via the shared ``fit_chunk`` budget.
 
-    ``per_h_bytes`` sums the bytes of all H-wide blocks held per timestep:
-    forward has u (4 lanes of the u itemsize) + h (u itemsize) + c + cp
-    (f32); backward adds gh and the 4-lane du.  Everything is
-    double-buffered (x2).  Bigger chunks = fewer grid steps on the serial
-    scan; bf16 I/O doubles the feasible chunk.
+    ``per_h_bytes``: forward holds u (4 lanes of the u itemsize) + h (u
+    itemsize) + c + cp (f32) per timestep; backward adds gh and the 4-lane
+    du.  bf16 I/O doubles the feasible chunk (fewer serial grid steps).
     """
-    chunk = _MAX_CHUNK
-    while chunk > 1 and 2 * chunk * B * H * per_h_bytes > _FUSED_VMEM_BUDGET:
-        chunk //= 2
-    return chunk
+    return fit_chunk(per_h_bytes, B, H)
 
 
 def _fused_fwd_call(u, b2d, len_bc, rev, use_relu):

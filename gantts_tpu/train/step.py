@@ -283,7 +283,10 @@ class GanTrainer:
             y, cfg.num_windows, cfg.stream_sizes, cfg.has_dynamic_features)
 
         gen_in = jnp.concatenate([x, z], axis=-1) if cfg.add_noise else x
-        rng_g, rng_dr, rng_df, rng_dg = jax.random.split(rng, 4)
+        # 4-way split kept for rng-stream stability; slot 2 (once the
+        # separate D-fake application) is unused since real+fake became one
+        # batched D call under rng_dr.
+        rng_g, rng_dr, _, rng_dg = jax.random.split(rng, 4)
 
         # 1. generator forward, vjp captured for reuse
         (y_hat, y_hat_static), g_vjp = jax.vjp(

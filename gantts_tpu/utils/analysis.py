@@ -39,3 +39,49 @@ def modulation_spectrum(features, modfs, n=4096):
         ms = modspec(np.asarray(features, dtype=np.float64), n=n)
     freqs = np.fft.rfftfreq(n, d=1.0 / modfs)
     return freqs, np.log(np.maximum(ms, 1e-30))
+
+
+def _hi_band_db(features, modfs):
+    freqs, ms = modulation_spectrum(features, modfs)
+    hi = (freqs >= 25.0) & (freqs <= 50.0)
+    return float(10.0 / np.log(10.0) * np.mean(ms[hi]))
+
+
+def write_analysis_report(path, generated, natural_dir, static_dim, modfs):
+    """GV + modulation-spectrum comparison of generated statics vs the
+    natural training targets, written as ``analysis.json`` next to every
+    synthesis run (shared by evaluation_vc.py and evaluation_tts.py)."""
+    import json
+    from glob import glob
+    from os.path import join
+
+    report = {}
+    if generated:
+        gen = [g[:, :static_dim] for g in generated]
+        report["gv_generated_mean"] = float(np.mean(global_variance(gen)))
+        report["modspec_generated_hi_band_db"] = _hi_band_db(gen, modfs)
+    try:
+        nat = [np.load(f)[:, :static_dim]
+               for f in sorted(glob(join(natural_dir, "*.npy")))[:50]]
+        if nat:
+            report["gv_natural_mean"] = float(np.mean(global_variance(nat)))
+            report["modspec_natural_hi_band_db"] = _hi_band_db(nat, modfs)
+            if "gv_generated_mean" in report:
+                report["gv_ratio"] = (report["gv_generated_mean"]
+                                      / max(report["gv_natural_mean"], 1e-30))
+    except (OSError, ValueError):
+        pass
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print("analysis ->", path, report)
+
+
+def run_utterance_jobs(process, jobs, workers):
+    """Run ``process(*job)`` over every job, thread-fanned when workers > 1
+    (the per-utterance eval work is C++/BLAS-bound, so threads scale)."""
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            return list(ex.map(lambda j: process(*j), jobs))
+    return [process(*j) for j in jobs]

@@ -104,33 +104,39 @@ def main():
     jax.block_until_ready(out)
     rows.append(("full G+D step", (time.perf_counter() - t0) / N * 1e3))
 
+    # NOTE: every jit below takes the big arrays (x, y, R, xd) as ARGUMENTS
+    # — axon's remote-compile endpoint rejects programs with large baked-in
+    # closure constants (HTTP 413).
+
     # G forward only
-    gfwd = jax.jit(lambda p: model_g.apply(p, x, lengths, deterministic=True))
-    rows.append(("G forward", timed(gfwd, gs.params)))
+    gfwd = jax.jit(
+        lambda p, xx, ll: model_g.apply(p, xx, ll, deterministic=True))
+    rows.append(("G forward", timed(gfwd, gs.params, x, lengths)))
 
     # G fwd+bwd (MGE loss through MLPG)
     y_static_ref = multi_stream_mlpg(y, R, tuple(hp.stream_sizes),
                                      tuple(hp.has_dynamic_features))
     mask = sequence_mask(lengths, T)[..., None]
 
-    def g_loss(p):
-        yh = model_g.apply(p, x, lengths, deterministic=True)
-        yhs = multi_stream_mlpg(yh, R, tuple(hp.stream_sizes),
+    def g_loss(p, xx, ll, RR, ys, mm):
+        yh = model_g.apply(p, xx, ll, deterministic=True)
+        yhs = multi_stream_mlpg(yh, RR, tuple(hp.stream_sizes),
                                 tuple(hp.has_dynamic_features))
-        return masked_mse_loss(yhs, y_static_ref, mask=mask)
+        return masked_mse_loss(yhs, ys, mask=mm)
 
     gbwd = jax.jit(jax.grad(g_loss))
-    rows.append(("G fwd+bwd (mge)", timed(gbwd, gs.params)))
+    rows.append(("G fwd+bwd (mge)",
+                 timed(gbwd, gs.params, x, lengths, R, y_static_ref, mask)))
 
     # MLPG matmul alone (fwd)
-    mlpg_fn = jax.jit(lambda u: multi_stream_mlpg(
-        u, R, tuple(hp.stream_sizes), tuple(hp.has_dynamic_features)))
-    rows.append(("MLPG fwd", timed(mlpg_fn, y)))
+    mlpg_fn = jax.jit(lambda u, RR: multi_stream_mlpg(
+        u, RR, tuple(hp.stream_sizes), tuple(hp.has_dynamic_features)))
+    rows.append(("MLPG fwd", timed(mlpg_fn, y, R)))
 
     # D forward
-    dfwd = jax.jit(lambda p: model_d.apply(p, xd, lengths,
-                                           deterministic=True))
-    rows.append(("D forward", timed(dfwd, ds.params)))
+    dfwd = jax.jit(lambda p, xx, ll: model_d.apply(p, xx, ll,
+                                                   deterministic=True))
+    rows.append(("D forward", timed(dfwd, ds.params, xd, lengths)))
 
     # SRU stack alone (the 6x512 bidirectional trunk, no output head)
     from gantts_tpu.models.sru import SRU
@@ -141,14 +147,15 @@ def main():
               hp.generator_params["use_relu"],
               compute_dtype=hp.compute_dtype)
     sru_vars = sru.init(jr.PRNGKey(0), x, lengths)
-    sfwd = jax.jit(lambda v: sru.apply(v, x, lengths, deterministic=True))
-    rows.append(("SRU trunk fwd", timed(sfwd, sru_vars)))
+    sfwd = jax.jit(
+        lambda v, xx, ll: sru.apply(v, xx, ll, deterministic=True))
+    rows.append(("SRU trunk fwd", timed(sfwd, sru_vars, x, lengths)))
 
-    def s_loss(v):
-        return jnp.sum(sru.apply(v, x, lengths, deterministic=True) ** 2)
+    def s_loss(v, xx, ll):
+        return jnp.sum(sru.apply(v, xx, ll, deterministic=True) ** 2)
 
     sbwd = jax.jit(jax.grad(s_loss))
-    rows.append(("SRU trunk fwd+bwd", timed(sbwd, sru_vars)))
+    rows.append(("SRU trunk fwd+bwd", timed(sbwd, sru_vars, x, lengths)))
 
     # optimizer update alone (Adagrad over 22.9M G params)
     g_grads = jax.tree_util.tree_map(jnp.ones_like, gs.params)
@@ -163,16 +170,18 @@ def main():
                        bidirectional=True, compute_dtype=hp.compute_dtype)
     lx = x[..., :512] if x.shape[-1] >= 512 else x
     lstm_vars = lstm.init(jr.PRNGKey(0), lx, lengths)
-    lfwd = jax.jit(lambda v: lstm.apply(v, lx, lengths, deterministic=True))
-    rows.append(("LSTM trunk 3x fwd", timed(lfwd, lstm_vars)))
+    lfwd = jax.jit(
+        lambda v, xx, ll: lstm.apply(v, xx, ll, deterministic=True))
+    rows.append(("LSTM trunk 3x fwd", timed(lfwd, lstm_vars, lx, lengths)))
 
-    def l_loss(v):
-        return jnp.sum(lstm.apply(v, lx, lengths,
+    def l_loss(v, xx, ll):
+        return jnp.sum(lstm.apply(v, xx, ll,
                                   deterministic=True).astype(jnp.float32)
                        ** 2)
 
     lbwd = jax.jit(jax.grad(l_loss))
-    rows.append(("LSTM trunk 3x fwd+bwd", timed(lbwd, lstm_vars)))
+    rows.append(("LSTM trunk 3x fwd+bwd", timed(lbwd, lstm_vars, lx,
+                                                lengths)))
 
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(gs.params))
