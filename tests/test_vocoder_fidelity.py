@@ -27,12 +27,14 @@ from gantts_tpu.frontend import world  # noqa: E402
 
 
 def test_harvest_f0_accuracy():
+    # Post-coherence-gate levels (vocoder_fidelity.json: rmse 0.26 Hz,
+    # core vuv 0.64%, zero gross over 6 utterances) with ~4x margin.
     x, f0_true, vuv = make_utterance(0)
     f0, t = world.harvest(x, FS)
     m = f0_metrics(f0, f0_true, vuv)
-    assert m["f0_rmse_hz"] < 20.0, m
-    assert m["gross_error_rate"] < 0.02, m
-    assert m["vuv_error_core"] < 0.12, m
+    assert m["f0_rmse_hz"] < 2.0, m
+    assert m["gross_error_rate"] < 0.005, m
+    assert m["vuv_error_core"] < 0.04, m
 
 
 def test_dio_stonemask_f0_accuracy():
@@ -40,8 +42,8 @@ def test_dio_stonemask_f0_accuracy():
     f0, t = world.dio(x, FS)
     f0 = world.stonemask(x, f0, t, FS)
     m = f0_metrics(f0, f0_true, vuv)
-    assert m["gross_error_rate"] < 0.05, m
-    assert m["vuv_error_core"] < 0.15, m
+    assert m["gross_error_rate"] < 0.02, m
+    assert m["vuv_error_core"] < 0.08, m
 
 
 def test_copy_synthesis_mcd_and_aperiodicity():
