@@ -144,6 +144,7 @@ def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
     f0[peak_r < 0.45] = 0.0
     f0 = _coherence_gate(x, f0, t, fs)
     f0 = _subharmonic_fix(x, f0, t, fs, f0_floor)
+    f0 = _contour_consistency_fix(x, f0, t, fs)
     f0 = _remove_jumps(f0, allowed_range=0.18)
     return f0, t
 
@@ -242,6 +243,38 @@ def _subharmonic_fix_py(x, f0, temporal_positions, fs, f0_floor,
                 best_k, best_r = k, rk
         if best_k > 1 and best_r > r1 + improvement and best_r > 0.5:
             out[i] = f / best_k
+    return out
+
+
+def _contour_consistency_fix(x, f0, temporal_positions, fs, rel=0.3,
+                             window=3):
+    """Re-probe voiced frames that disagree with their neighbors (the
+    FixF0Contour step-2/3 analog of WORLD's Dio).
+
+    A frame can lock onto a formant-ringing frequency even inside a voiced
+    run (typically near voicing offsets, where the subharmonic check's
+    window spans the boundary and degrades).  Such frames disagree with
+    the local voiced median by far more than any physiological f0 change
+    between 5 ms frames; re-seed them at the median and keep the NCC-refined
+    value only if it confirms periodicity there, else mark unvoiced."""
+    x = np.asarray(x, dtype=np.float64)
+    out = f0.copy()
+    n = len(f0)
+    for i in range(n):
+        f = f0[i]
+        if f <= 0:
+            continue
+        lo, hi = max(0, i - window), min(n, i + window + 1)
+        neigh = [f0[j] for j in range(lo, hi) if j != i and f0[j] > 0]
+        if len(neigh) < 2:
+            continue
+        med = float(np.median(neigh))
+        if abs(f - med) / med <= rel:
+            continue
+        probe = np.array([med])
+        refined, peak_r = _ncc_refine(x, probe,
+                                      temporal_positions[i:i + 1], fs)
+        out[i] = refined[0] if peak_r[0] >= 0.45 else 0.0
     return out
 
 
