@@ -438,6 +438,35 @@ void ncc_refine(const double* x, int64_t n, const double* f0,
   }
 }
 
+// Oracle: world.py _coherence_gate_py.  out must be initialized to f0 by
+// the caller; frames whose best NCC at the ~horizon_s lag falls below
+// thresh are zeroed.  nearbyint matches Python round() (ties to even).
+void coherence_gate(const double* x, int64_t n, const double* f0,
+                    const double* tpos, int64_t T, double fs,
+                    double horizon_s, double thresh, double tol,
+                    double* out) {
+  std::vector<double> seg;
+  for (int64_t i = 0; i < T; ++i) {
+    const double f = f0[i];
+    if (f <= 0.0) continue;
+    const double T0 = fs / f;
+    int64_t k = (int64_t)std::nearbyint(horizon_s * fs / T0);
+    if (k < 2) k = 2;
+    const int64_t half = (int64_t)((double)(k + 2) * T0);
+    const int64_t c = (int64_t)(tpos[i] * fs);  // Python int() truncation
+    const int64_t len = centered_segment(x, n, c - half, c + half, seg);
+    const int64_t lag_lo =
+        std::max((int64_t)2, (int64_t)((double)k * T0 * (1.0 - tol)));
+    const int64_t lag_hi =
+        std::min(len - 2, (int64_t)((double)k * T0 * (1.0 + tol)) + 1);
+    if (lag_hi <= lag_lo) continue;  // window clipped by edge: keep frame
+    double best = -1.0;
+    for (int64_t lag = lag_lo; lag < lag_hi; ++lag)
+      best = std::max(best, ncc_at(seg.data(), len, lag));
+    if (best < thresh) out[i] = 0.0;
+  }
+}
+
 // Oracle: world.py _subharmonic_fix.  out must be initialized to f0.
 void subharmonic_fix(const double* x, int64_t n, const double* f0,
                      const double* tpos, int64_t T, double fs,

@@ -127,6 +127,15 @@ def _load_locked():
     except AttributeError:  # stale library build without the analysis engine
         lib.ncc_refine = None
 
+    try:
+        lib.coherence_gate.argtypes = [
+            c_double_p, ctypes.c_int64, c_double_p, c_double_p,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, c_double_p]
+        lib.coherence_gate.restype = None
+    except AttributeError:  # stale build without the coherence gate
+        lib.coherence_gate = None
+
     return lib
 
 
@@ -192,6 +201,26 @@ def ncc_refine(x, f0, temporal_positions, fs):
     lib.ncc_refine(_ptr(x), len(x), _ptr(f0), _ptr(tpos), len(f0),
                    ctypes.c_double(float(fs)), _ptr(refined), _ptr(peak_r))
     return refined, peak_r
+
+
+def has_coherence_gate() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "coherence_gate", None) is not None
+
+
+def coherence_gate(x, f0, temporal_positions, fs, horizon_s, thresh, tol):
+    """C++ twin of world.py _coherence_gate_py; returns the gated f0."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    out = f0.copy()
+    lib.coherence_gate(_ptr(x), len(x), _ptr(f0), _ptr(tpos), len(f0),
+                       ctypes.c_double(float(fs)),
+                       ctypes.c_double(float(horizon_s)),
+                       ctypes.c_double(float(thresh)),
+                       ctypes.c_double(float(tol)), _ptr(out))
+    return out
 
 
 def subharmonic_fix(x, f0, temporal_positions, fs, f0_floor,

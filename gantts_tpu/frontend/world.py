@@ -151,6 +151,20 @@ def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
 
 def _coherence_gate(x, f0, temporal_positions, fs, horizon_s=0.012,
                     thresh=0.5, tol=0.08):
+    """Dispatch for the coherence voicing gate (C++ fast path; NumPy oracle
+    in :func:`_coherence_gate_py` — see its docstring for the rationale)."""
+    from gantts_tpu.frontend import native
+
+    if native.has_coherence_gate():
+        return native.coherence_gate(
+            np.asarray(x, dtype=np.float64), f0, temporal_positions, fs,
+            horizon_s, thresh, tol)
+    return _coherence_gate_py(x, f0, temporal_positions, fs, horizon_s,
+                              thresh, tol)
+
+
+def _coherence_gate_py(x, f0, temporal_positions, fs, horizon_s=0.012,
+                       thresh=0.5, tol=0.08):
     """Reject voiced candidates that decohere within a fixed TIME horizon.
 
     The one-period NCC gate cannot tell glottal periodicity from

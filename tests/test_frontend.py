@@ -312,6 +312,23 @@ def test_native_ncc_refine_matches_python():
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_coherence_gate_matches_python():
+    if not native.has_coherence_gate():
+        pytest.skip("library built without the coherence gate")
+    x, f0, tp, fs = _analysis_fixture()
+    # mix in formant-ringing-style false candidates so the gate fires
+    rs = np.random.RandomState(7)
+    f0_mixed = f0.copy()
+    uv = f0 == 0
+    f0_mixed[uv] = rs.uniform(650, 780, uv.sum())  # ringing-band probes
+    g_cc = native.coherence_gate(x, f0_mixed, tp, fs, 0.012, 0.5, 0.08)
+    g_py = world._coherence_gate_py(x, f0_mixed, tp, fs)
+    np.testing.assert_allclose(g_cc, g_py, rtol=1e-9, atol=1e-9)
+    assert (g_cc == 0).sum() > (f0_mixed == 0).sum(), \
+        "fixture never exercised the gate"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
 def test_native_subharmonic_fix_matches_python():
     if not native.has_analysis():
         pytest.skip("library built without the analysis engine")
