@@ -142,8 +142,11 @@ def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
     # normalized autocorrelation at the candidate lag to confirm voicing.
     _, peak_r = _ncc_refine(x, f0, t, fs)
     f0[peak_r < 0.45] = 0.0
-    f0 = _coherence_gate(x, f0, t, fs)
+    # order: harmonic-lock correction FIRST (a frame locked onto k*f0 can
+    # be rescued; the coherence gate would instead zero it), then the
+    # ringing gate, then neighbor consistency.
     f0 = _subharmonic_fix(x, f0, t, fs, f0_floor)
+    f0 = _coherence_gate(x, f0, t, fs)
     f0 = _contour_consistency_fix(x, f0, t, fs)
     f0 = _remove_jumps(f0, allowed_range=0.18)
     return f0, t
@@ -177,8 +180,9 @@ def _coherence_gate_py(x, f0, temporal_positions, fs, horizon_s=0.012,
     for jitter/vibrato): ringing tracks fall below ``thresh`` there, real
     f0 does not (measured on the copy-synthesis ground truth: rejects half
     the false-voiced frames at a 2/919 true-frame cost; the survivors are
-    then fragmented below _remove_jumps' min_run).  Frames whose window is
-    clipped by the signal edge are left untouched."""
+    then fragmented below _remove_jumps' min_run).  Frames so close to a
+    signal edge that no probe lag fits are left untouched (a partially
+    clipped window is still gated, just off-center)."""
     x = np.asarray(x, dtype=np.float64)
     out = f0.copy()
     for i, (f, tc) in enumerate(zip(f0, temporal_positions)):
@@ -274,6 +278,7 @@ def _contour_consistency_fix(x, f0, temporal_positions, fs, rel=0.3,
     x = np.asarray(x, dtype=np.float64)
     out = f0.copy()
     n = len(f0)
+    probes = np.zeros(n)  # median seed per outlier frame; 0 elsewhere
     for i in range(n):
         f = f0[i]
         if f <= 0:
@@ -283,12 +288,13 @@ def _contour_consistency_fix(x, f0, temporal_positions, fs, rel=0.3,
         if len(neigh) < 2:
             continue
         med = float(np.median(neigh))
-        if abs(f - med) / med <= rel:
-            continue
-        probe = np.array([med])
-        refined, peak_r = _ncc_refine(x, probe,
-                                      temporal_positions[i:i + 1], fs)
-        out[i] = refined[0] if peak_r[0] >= 0.45 else 0.0
+        if abs(f - med) / med > rel:
+            probes[i] = med
+    if (probes > 0).any():
+        # one batched refine call (it skips f0 <= 0 frames internally)
+        refined, peak_r = _ncc_refine(x, probes, temporal_positions, fs)
+        sel = probes > 0
+        out[sel] = np.where(peak_r[sel] >= 0.45, refined[sel], 0.0)
     return out
 
 
@@ -452,10 +458,12 @@ def harvest(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
     # periodicity gate (same rationale as dio)
     _, peak_r = _ncc_refine(x, base, t, fs)
     base[peak_r < 0.45] = 0.0
-    base = _coherence_gate(x, base, t, fs)
     # harmonic-lock correction BEFORE contour fixing: a run that locked onto
     # the k-th harmonic would otherwise survive as a self-consistent segment
+    # (and before the coherence gate, which would zero such frames instead
+    # of letting them be corrected)
     base = _subharmonic_fix(x, base, t, fs, f0_floor)
+    base = _coherence_gate(x, base, t, fs)
 
     # ---- contour fixing --------------------------------------------------
     f0 = _remove_jumps(base, allowed_range=0.18, min_run=6)

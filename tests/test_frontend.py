@@ -324,8 +324,8 @@ def test_native_coherence_gate_matches_python():
     g_cc = native.coherence_gate(x, f0_mixed, tp, fs, 0.012, 0.5, 0.08)
     g_py = world._coherence_gate_py(x, f0_mixed, tp, fs)
     np.testing.assert_allclose(g_cc, g_py, rtol=1e-9, atol=1e-9)
-    assert (g_cc == 0).sum() > (f0_mixed == 0).sum(), \
-        "fixture never exercised the gate"
+    # f0_mixed has no zeros, so any zero in the output proves the gate fired
+    assert (g_cc == 0).any(), "fixture never exercised the gate"
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
