@@ -15,6 +15,10 @@ REPO = dirname(dirname(os.path.abspath(__file__)))
 from tests.fixtures import (  # noqa: E402
     SMALL_D, SMALL_SRU, make_arctic_vc_corpus, make_tts_corpus)
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # deselect with -m "not slow"
+
 SMALL_OVERRIDES = f"{SMALL_SRU},{SMALL_D},batch_size=4"
 
 

@@ -23,6 +23,8 @@ REPO = dirname(dirname(os.path.abspath(__file__)))
 
 from tests.fixtures import SMALL_D, SMALL_SRU, make_tts_corpus  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _run(args, timeout=900):
     # GANTTS_TPU_PLATFORM is the reliable CPU pin (sitecustomize imports
