@@ -14,6 +14,12 @@ The chain is wrapped in ``optax.inject_hyperparams`` so the learning rate
 lives in the optimizer state and can be rewritten between steps without
 recompiling the jitted train step — this is how the reference's
 ``exp_lr_scheduler`` (train.py:323-333) is reproduced.
+
+Measured and rejected: wrapping the chain in ``optax.flatten`` (one
+contiguous vector per update instead of 38 leaves) takes the bench-size
+22.9M-param Adagrad update from 0.36 ms to 0.15 ms on v5e — under 1% of
+the 24.7 ms fused step, not worth changing the checkpointed opt-state
+structure (the curriculum's resume contract stores it as a tree).
 """
 
 from __future__ import annotations
