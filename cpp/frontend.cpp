@@ -600,14 +600,24 @@ void d4c_band_ncc(const double* band_sigs, int64_t n_bands, int64_t n,
     if (hi > n) hi = n;
     const int64_t len = hi - lo;
     if (len < (int64_t)(2.0 * T0) + 2) continue;
-    const int64_t lag = llround(T0);
-    if (lag >= len - 1) continue;
+    const int64_t lag0 = llround(T0);
+    if (lag0 >= len - 1) continue;
+    // peak-track around the estimated lag (+-3% of T0, >=1 sample): the
+    // periodicity measure should read the correlation PEAK, not the value
+    // at a possibly-off-by-a-sample estimated period (same rationale as
+    // stonemask) — f0 error otherwise reads as fake aperiodicity.
+    const int64_t srch = std::max((int64_t)1, (int64_t)llround(0.03 * T0));
     for (int64_t b = 0; b < n_bands; ++b) {
       centered_segment(band_sigs + b * n, n, lo, hi, seg);
       const double e = dot_n(seg.data(), seg.data(), len);
       if (e < 1e-12) continue;
-      double r = dot_n(seg.data(), seg.data() + lag, len - lag) / e;
-      r /= std::max(1e-9, 1.0 - (double)lag / (double)len);
+      double r = 0.0;
+      for (int64_t lag = std::max((int64_t)2, lag0 - srch);
+           lag <= std::min(len - 2, lag0 + srch); ++lag) {
+        double rl = dot_n(seg.data(), seg.data() + lag, len - lag) / e;
+        rl /= std::max(1e-9, 1.0 - (double)lag / (double)len);
+        r = std::max(r, rl);
+      }
       r = std::min(std::max(r, 0.0), 1.0 - 1e-12);
       band_ap[i * n_bands + b] = std::sqrt(std::max(1.0 - r, 1e-12));
     }

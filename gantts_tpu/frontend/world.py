@@ -665,17 +665,25 @@ def d4c(x, f0, temporal_positions, fs, threshold=0.85, fft_size=None):
         lo_i, hi_i = max(0, c - half), min(len(x), c + half)
         if hi_i - lo_i < int(2 * T0) + 2:
             continue
-        lag = int(round(T0))
+        lag0 = int(round(T0))
+        if lag0 >= hi_i - lo_i - 1:
+            continue
+        # peak-track +-3% of T0 (>=1 sample) around the estimated lag so
+        # f0 error does not read as fake aperiodicity (cpp twin agrees)
+        srch = max(1, int(round(0.03 * T0)))
         for b in range(n_bands):
             seg = band_sigs[b][lo_i:hi_i]
             seg = seg - seg.mean()
             e = np.dot(seg, seg)
             if e < 1e-12:
                 continue
-            if lag >= len(seg) - 1:
-                continue
-            r = np.dot(seg[:-lag], seg[lag:]) / e
-            r = np.clip(r / max(1e-9, 1.0 - lag / len(seg)), 0.0, 1.0 - 1e-12)
+            r = 0.0
+            for lag in range(max(2, lag0 - srch),
+                             min(len(seg) - 2, lag0 + srch) + 1):
+                rl = np.dot(seg[:-lag], seg[lag:]) / e
+                rl /= max(1e-9, 1.0 - lag / len(seg))
+                r = max(r, rl)
+            r = np.clip(r, 0.0, 1.0 - 1e-12)
             band_ap[i, b] = np.sqrt(max(1.0 - r, 1e-12))
         # expand bands to the full frequency axis (log-linear interpolation)
         centers = (np.asarray(band_edges[:-1]) + np.asarray(band_edges[1:])) / 2

@@ -150,7 +150,7 @@ def main():
     agg = {"dio": [], "harvest": []}
     mcds = []
     env_errs = []
-    ap_voiced_lo, ap_unvoiced = [], []
+    ap_voiced_lo, ap_voiced_all, ap_unvoiced = [], [], []
     for seed in range(args.n):
         x, f0_true, vuv_true = make_utterance(seed)
 
@@ -175,6 +175,7 @@ def main():
         nb = ap.shape[1]
         if v.any():
             ap_voiced_lo.append(float(ap[:nn][v][:, : nb // 4].mean()))
+            ap_voiced_all.append(float(ap[:nn][v].mean()))
         if uv.any():
             ap_unvoiced.append(float(ap[:nn][uv].mean()))
 
@@ -218,6 +219,7 @@ def main():
         "copy_synthesis_mcd_db": round(float(np.mean(mcds)), 4),
         "envelope_lsd_db": round(float(np.mean(env_errs)), 4),
         "d4c_voiced_lowband_ap": round(float(np.mean(ap_voiced_lo)), 4),
+        "d4c_voiced_allband_ap": round(float(np.mean(ap_voiced_all)), 4),
         "d4c_unvoiced_ap": round(float(np.mean(ap_unvoiced)), 4),
     }
     with open(args.out, "w") as f:
