@@ -196,3 +196,30 @@ def test_tts_inference_chain(labq, tmp_path):
         hp_dur, hp_ac, binary_dict, continuous_dict,
         apply_duration_model=False, fs=16000)
     assert np.isfinite(wav2).all()
+
+
+def test_run_utterance_jobs_order_and_errors():
+    """The shared eval fan-out must preserve job order (threaded and
+    serial) and propagate a worker exception rather than swallow it."""
+    import pytest
+
+    from gantts_tpu.utils.analysis import run_utterance_jobs
+
+    jobs = [(i, 2 * i) for i in range(20)]
+
+    def work(a, b):
+        return a + b
+
+    serial = run_utterance_jobs(work, jobs, workers=1)
+    threaded = run_utterance_jobs(work, jobs, workers=4)
+    assert serial == threaded == [3 * i for i in range(20)]
+
+    def boom(a, b):
+        if a == 7:
+            raise ValueError("utterance 7 failed")
+        return a
+
+    with pytest.raises(ValueError, match="utterance 7"):
+        run_utterance_jobs(boom, jobs, workers=4)
+    with pytest.raises(ValueError, match="utterance 7"):
+        run_utterance_jobs(boom, jobs, workers=1)
