@@ -20,10 +20,10 @@ DIO / CheapTrick / D4C papers), not ported from the WORLD sources:
   harvest     Harvest-style estimation: dense multi-channel candidate map,
               best-stable base contour, contour FIXING (short-segment
               removal + extension through unstable regions by re-selecting
-              agreeing candidates), harmonic-lock correction, NCC
-              refinement.  Measured on synthetic ground truth
-              (vocoder_fidelity.json): 9.1 Hz RMSE, 0.11% gross errors,
-              5.8% core V/UV error.
+              agreeing candidates), harmonic-lock correction, fixed-horizon
+              coherence voicing gate, NCC refinement.  Measured on synthetic
+              ground truth (vocoder_fidelity.json): 0.26 Hz RMSE, zero
+              gross errors, 0.6% core V/UV error.
   cheaptrick  pitch-adaptive Hanning windowing (3 T0), 2f0/3 rectangular
               spectral smoothing, quefrency liftering with sinc recovery and
               the q1 = -0.15 compensation lifter.
