@@ -484,12 +484,12 @@ void subharmonic_fix(const double* x, int64_t n, const double* f0,
     const int64_t half = (int64_t)(1.2 * T0max);
     const int64_t c = (int64_t)(tpos[i] * fs);  // Python int() truncation
     const int64_t len = centered_segment(x, n, c - half, c + half, seg);
-    const double r1 = ncc_at(seg.data(), len, llround(fs / f));
+    const double r1 = ncc_at(seg.data(), len, (int64_t)std::nearbyint(fs / f));
     int best_k = 1;
     double best_r = r1;
     for (int k = 2; k <= max_div; ++k) {
       if (f / k < f0_floor) continue;
-      const double rk = ncc_at(seg.data(), len, llround(k * fs / f));
+      const double rk = ncc_at(seg.data(), len, (int64_t)std::nearbyint(k * fs / f));
       if (rk > best_r) { best_k = k; best_r = rk; }
     }
     if (best_k > 1 && best_r > r1 + improvement && best_r > 0.5)
@@ -509,7 +509,7 @@ void cheaptrick_frames(const double* x, int64_t n, const double* f0,
     const double f = f0[i] > f0_floor / 2.0 ? f0[i] : 500.0;
     const double T0 = fs / f;
     const int64_t half = (int64_t)(1.5 * T0);
-    const int64_t c = llround(tpos[i] * fs);
+    const int64_t c = (int64_t)std::nearbyint(tpos[i] * fs);
     const int64_t L = 2 * half + 1;
     // windowed, DC-removed segment straight into the FFT input.  The DC
     // sums run over the FULL window even if it exceeds fft_size (the
@@ -594,19 +594,19 @@ void d4c_band_ncc(const double* band_sigs, int64_t n_bands, int64_t n,
     if (f <= 0.0) continue;
     const double T0 = fs / f;
     const int64_t half = (int64_t)(2.5 * T0);
-    const int64_t c = llround(tpos[i] * fs);
+    const int64_t c = (int64_t)std::nearbyint(tpos[i] * fs);
     int64_t lo = c - half, hi = c + half;
     if (lo < 0) lo = 0;
     if (hi > n) hi = n;
     const int64_t len = hi - lo;
     if (len < (int64_t)(2.0 * T0) + 2) continue;
-    const int64_t lag0 = llround(T0);
+    const int64_t lag0 = (int64_t)std::nearbyint(T0);
     if (lag0 >= len - 1) continue;
     // peak-track around the estimated lag (+-3% of T0, >=1 sample): the
     // periodicity measure should read the correlation PEAK, not the value
     // at a possibly-off-by-a-sample estimated period (same rationale as
     // stonemask) — f0 error otherwise reads as fake aperiodicity.
-    const int64_t srch = std::max((int64_t)1, (int64_t)llround(0.03 * T0));
+    const int64_t srch = std::max((int64_t)1, (int64_t)std::nearbyint(0.03 * T0));
     for (int64_t b = 0; b < n_bands; ++b) {
       centered_segment(band_sigs + b * n, n, lo, hi, seg);
       const double e = dot_n(seg.data(), seg.data(), len);

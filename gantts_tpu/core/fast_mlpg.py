@@ -218,6 +218,11 @@ def unit_variance_mlpg_dynamic(op: MLPGStencil, means, lengths,
     W = op.halfwidth
     C = 2 * W
 
+    if op.windows_key is None:
+        raise ValueError(
+            "MLPGStencil was constructed directly; build it with "
+            "MLPGStencil.create(windows) — the blocked interior needs the "
+            "static windows_key (the stencil array itself may be traced)")
     u = means.reshape(B, Tp, K, S)
 
     # interior: blocked-Toeplitz matmul (same math as the static-shape path)

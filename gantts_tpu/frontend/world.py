@@ -117,26 +117,14 @@ def dio(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
     n_frames = int(len(x) / fs / hop_t) + 1
     t = np.arange(n_frames) * hop_t
 
-    n_ch = int(np.ceil(np.log2(f0_ceil / f0_floor) * channels_in_octave)) + 1
-    boundary_f0s = f0_floor * 2.0 ** (np.arange(1, n_ch + 1)
-                                      / channels_in_octave)
-
-    best_f0 = np.zeros(n_frames)
-    best_score = np.full(n_frames, np.inf)
-    for bf0 in boundary_f0s:
-        filtered = _lowpass_fir(x, fs, bf0)
-        tracks = _interval_candidates(filtered, fs, t)
-        valid = (tracks > 0).all(axis=0)
-        mean_f0 = tracks.mean(axis=0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            score = tracks.std(axis=0) / np.maximum(mean_f0, 1e-9)
-        in_band = (mean_f0 > max(f0_floor, bf0 / 4)) & (mean_f0 < bf0) \
-            & (mean_f0 < f0_ceil)
-        cand = valid & in_band & (score < best_score)
-        best_f0[cand] = mean_f0[cand]
-        best_score[cand] = score[cand]
-
-    f0 = np.where(best_score < allowed_range, best_f0, 0.0)
+    # same channel map as harvest (one shared implementation; ties resolve
+    # to the first/lowest channel in both the old incremental loop and
+    # np.argmin)
+    cands, scores = _candidate_map(x, fs, f0_floor, f0_ceil, t,
+                                   channels_in_octave)
+    best = np.argmin(scores, axis=0)
+    idx = np.arange(n_frames)
+    f0 = np.where(scores[best, idx] < allowed_range, cands[best, idx], 0.0)
     # Periodicity gate: interval statistics alone accept narrow-band noise
     # (filtered noise has regular zero crossings); require the raw signal's
     # normalized autocorrelation at the candidate lag to confirm voicing.

@@ -114,21 +114,6 @@ def leaky_relu(x):
     return jax.nn.leaky_relu(x, negative_slope=0.01)
 
 
-def reverse_padded(x, lengths):
-    """Reverse each sequence within its valid length (padding stays put).
-
-    Replaces the role of torch's pack_padded_sequence for the backward
-    direction of bidirectional RNNs (reference models.py:104-112): frame t of
-    the output is frame (length-1-t) of the input for t < length; frames at
-    or beyond length are garbage and must be masked by the caller.
-    Involutive: applying it twice restores the valid region.
-    """
-    T = x.shape[1]
-    idx = lengths[:, None] - 1 - jnp.arange(T, dtype=lengths.dtype)[None, :]
-    idx = jnp.clip(idx, 0, T - 1)
-    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
-
-
 def default_lengths(x, lengths):
     if lengths is None:
         B, T = x.shape[0], x.shape[1]

@@ -14,7 +14,6 @@ from gantts_tpu.models import (
     include_parameter_generation,
 )
 from gantts_tpu.models.sru import linear_recurrence
-from gantts_tpu.models.common import reverse_padded
 
 WINDOWS2 = [
     (0, 0, np.array([1.0])),
@@ -114,16 +113,6 @@ def test_linear_recurrence_matches_sequential():
         c = f[:, t] * c + b[:, t]
         c_seq[:, t] = c
     assert np.allclose(c_par, c_seq, atol=1e-5)
-
-
-def test_reverse_padded_involutive():
-    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 3).astype(np.float32))
-    lengths = jnp.array([7, 10])
-    r = reverse_padded(x, lengths)
-    assert np.allclose(np.asarray(r[0, :7]), np.asarray(x[0, 6::-1]))
-    rr = reverse_padded(r, lengths)
-    assert np.allclose(np.asarray(rr[0, :7]), np.asarray(x[0, :7]))
-    assert np.allclose(np.asarray(rr[1]), np.asarray(x[1]))
 
 
 def test_mlp_sigmoid_and_dropout_rng():

@@ -83,14 +83,8 @@ def main(argv=None):
     args = build_arg_parser().parse_args(argv)
     print("Command line args:\n", vars(args))
 
-    # Deterministic platform pin for tests/tools: the JAX_PLATFORMS env var
-    # can be ignored here because sitecustomize imports jax at interpreter
-    # startup; a config update is the reliable channel (CLAUDE.md env traps).
-    if os.environ.get("GANTTS_TPU_PLATFORM"):
-        import jax
-
-        jax.config.update("jax_platforms",
-                          os.environ["GANTTS_TPU_PLATFORM"])
+    # (The GANTTS_TPU_PLATFORM pin happens in gantts_tpu/__init__, which
+    # this module imports before any backend-initializing call.)
 
     # Optional persistent XLA compilation cache (off by default: on the
     # axon/TPU-tunnel backend, enabling it makes compiles ~20x SLOWER —
@@ -200,6 +194,16 @@ def main(argv=None):
     import jax
 
     n_visible = len(jax.devices())
+    if args.num_devices > 0 and jax.process_count() > 1 \
+            and args.num_devices < n_visible:
+        # A sub-mesh of the first N GLOBAL devices can exclude some hosts
+        # entirely; their put_batch would own zero addressable shards and
+        # the collectives would deadlock. Cap per-host instead of here.
+        raise SystemExit(
+            f"--num-devices={args.num_devices} < {n_visible} global devices "
+            "is not supported with --distributed: every process must own "
+            "part of the mesh. Limit devices per host via "
+            "JAX_VISIBLE_DEVICES / platform flags instead.")
     n_mesh = min(args.num_devices, n_visible) if args.num_devices > 0 \
         else n_visible
     if n_mesh > 1:
