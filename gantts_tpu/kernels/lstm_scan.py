@@ -237,7 +237,9 @@ def _fwd_call(xp, whh, b2d, len_bc, rev):
     sw = jnp.dtype(whh_c.dtype).itemsize
     resident = H * 4 * H * sw + 2 * B * H * 4
     chunk = _lstm_chunk(B, H, 4 * su + su + 4, resident)
-    assert T % chunk == 0
+    if T % chunk != 0:  # holds for power-of-two chunks from fit_chunk;
+        # an if/raise (not assert) so the invariant survives python -O
+        raise ValueError(f"T={T} not divisible by chunk={chunk}")
     xp_spec, h_spec, n_chunks = _specs(T, B, H, chunk, rev)
     kern = partial(_lstm_fwd_kernel, rev, chunk, n_chunks)
     return pl.pallas_call(
@@ -266,7 +268,9 @@ def _bwd_call(xp, whh, b2d, len_bc, y, c, gh, layer_rev):
     # pipeline blocks per timestep: xp, dxp (4H each), y x2, c x2 (f32), gh
     per_h = 4 * su + 4 * su + 2 * su + 2 * 4 + sg
     chunk = _lstm_chunk(B, H, per_h, resident)
-    assert T % chunk == 0
+    if T % chunk != 0:  # holds for power-of-two chunks from fit_chunk;
+        # an if/raise (not assert) so the invariant survives python -O
+        raise ValueError(f"T={T} not divisible by chunk={chunk}")
     rev = not layer_rev  # traverse opposite to the forward pass
     xp_spec, h_spec, n_chunks = _specs(T, B, H, chunk, rev)
     # boundary views: one block earlier in FORWARD-traversal order

@@ -132,6 +132,15 @@ class DataParallelGanTrainer(GanTrainer):
                 return a
             if a.is_fully_addressable and jax.process_count() == 1:
                 return jax.device_put(a, sh)
+            if not a.is_fully_addressable:
+                # np.asarray below would raise an obscure RuntimeError;
+                # surface the contract violation instead (multi-host values
+                # must arrive as host arrays or already-replicated arrays).
+                raise ValueError(
+                    "put_replicated got a non-fully-addressable jax.Array "
+                    f"with sharding {a.sharding}; under multi-host, pass a "
+                    "host (numpy) value or an array already replicated "
+                    "over this mesh.")
         a = np.asarray(a)
         return jax.make_array_from_callback(a.shape, sh,
                                             lambda idx: a[idx])

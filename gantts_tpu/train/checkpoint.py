@@ -4,8 +4,12 @@ The 5-stage GAN curriculum (train_gan.sh:40-44) hands state between separate
 processes purely through files named
 ``checkpoint_epoch{N}_{Generator|Discriminator}.pth`` containing
 {state_dict, optimizer, global_epoch} (reference train.py:162-171, 651-658).
-We keep the exact names and keys (contents are JAX pytrees, pickled with
-device arrays pulled to host) so curriculum drivers port unchanged.
+We keep the exact names and keys so curriculum drivers port unchanged, but
+the payload is a flax msgpack blob, not a pickle: loading a checkpoint from
+an untrusted path must never execute code, and msgpack state-dicts survive
+jax/flax class renames that break pickled pytrees (the ``Dense_0`` migration
+shim below is the fossil of one such rename).  Pickle files written by
+earlier revisions are still read via a legacy fallback.
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from os.path import join
 
 import jax
 import numpy as np
+from flax import serialization
 
 
 def save_checkpoint(state, epoch, checkpoint_dir, name):
@@ -29,15 +34,20 @@ def save_checkpoint(state, epoch, checkpoint_dir, name):
     checkpoint_path = join(
         checkpoint_dir, f"checkpoint_epoch{epoch}_{name}.pth")
     payload = {
-        "state_dict": jax.device_get(state.params),
-        "optimizer": jax.device_get(state.opt_state),
+        "state_dict": serialization.to_state_dict(
+            jax.device_get(state.params)),
+        # to_state_dict flattens the optax namedtuple chain into plain
+        # dicts keyed by position — structure is re-imposed at load time
+        # from a freshly initialized opt_state (from_state_dict).
+        "optimizer": serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
         "global_epoch": int(epoch),
     }
     if jax.process_index() != 0:
         return checkpoint_path
     tmp_path = checkpoint_path + ".tmp"
     with open(tmp_path, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.write(serialization.msgpack_serialize(payload))
     os.replace(tmp_path, checkpoint_path)
     print("Saved checkpoint:", checkpoint_path)
     return checkpoint_path
@@ -47,7 +57,9 @@ def _migrate_dense_scope(tree):
     """Back-compat: TorchLinear used to wrap flax ``nn.Dense``, nesting its
     kernel/bias one level deeper under a ``Dense_0`` scope.  Checkpoints
     written before the direct-param change are flattened on load so old
-    models keep resuming/evaluating."""
+    models keep resuming/evaluating.  The match requires the wrapped child
+    to hold exactly {kernel, bias} so a future module that legitimately
+    scopes a single Dense under another name is never silently rewritten."""
     if isinstance(tree, tuple):  # optax states (incl. namedtuples)
         vals = [_migrate_dense_scope(v) for v in tree]
         return type(tree)(*vals) if hasattr(tree, "_fields") \
@@ -56,17 +68,41 @@ def _migrate_dense_scope(tree):
         return [_migrate_dense_scope(v) for v in tree]
     if not isinstance(tree, dict):
         return tree
-    if set(tree.keys()) == {"Dense_0"} and isinstance(tree["Dense_0"], dict):
+    if set(tree.keys()) == {"Dense_0"} and isinstance(tree["Dense_0"], dict) \
+            and set(tree["Dense_0"].keys()) == {"kernel", "bias"}:
         return dict(tree["Dense_0"])
     return {k: _migrate_dense_scope(v) for k, v in tree.items()}
 
 
-def load_checkpoint(path):
-    """Returns (params, opt_state_or_None, global_epoch)."""
+def _is_legacy_pickle(blob):
+    # Pickle protocol 2+ opens with PROTO (0x80) + protocol number; a
+    # msgpack payload opens with fixmap 0x83 (three top-level keys), so the
+    # two are unambiguous on the first byte pair.
+    return len(blob) >= 2 and blob[0] == 0x80 and blob[1] <= 5
+
+
+def load_checkpoint(path, opt_template=None):
+    """Returns (params, opt_state_or_None, global_epoch).
+
+    ``opt_template`` — a freshly initialized opt_state whose tree structure
+    the stored optimizer state-dict is restored into (msgpack flattens the
+    optax namedtuples; flax ``from_state_dict`` re-imposes the classes).
+    Without a template the optimizer comes back as nested plain dicts —
+    fine for params-only consumers (the eval scripts), unusable for
+    ``tx.update``.  Legacy pickle checkpoints carry their own structure and
+    ignore the template.
+    """
     print(f"Load checkpoint from: {path}")
     with open(path, "rb") as f:
-        payload = pickle.load(f)
-    opt = payload.get("optimizer")
+        blob = f.read()
+    if _is_legacy_pickle(blob):
+        payload = pickle.loads(blob)
+        opt = payload.get("optimizer")
+    else:
+        payload = serialization.msgpack_restore(blob)
+        opt = payload.get("optimizer")
+        if opt is not None and opt_template is not None:
+            opt = serialization.from_state_dict(opt_template, opt)
     return (_migrate_dense_scope(payload["state_dict"]),
             _migrate_dense_scope(opt) if opt is not None else None,
             int(payload["global_epoch"]))

@@ -380,10 +380,12 @@ class GanTrainer:
             out.update(mse=loss_mse, mge=loss_mge, loss_adv=loss_adv,
                        generator=loss_g)
 
-        # 5. distortion metrics — unconditionally, like the reference
-        #    (train.py:588-595 runs every batch regardless of update flags),
-        #    so D-warmup (update_g=False, stage 3) still logs the quality
-        #    series.
+        # 5. distortion metrics — unconditionally. Conscious change: the
+        #    reference computes them only under update_g (train.py:585-595),
+        #    so its D-warmup stage logs no quality series. Computing them
+        #    every batch costs nothing extra here (the y_hat forward already
+        #    ran) and keeps MCD/F0 curves continuous across curriculum
+        #    stages. Documented in PARITY.md "Consciously changed".
         out.update(compute_distortions(
             y_static, jax.lax.stop_gradient(y_hat_static),
             self.Y_mean, self.Y_std, mask, cfg))

@@ -61,10 +61,12 @@ def _run_vc(vc_corpus, hp, w_d, mse_w=0.0, mge_w=1.0, update_g=True,
     loaders, Y_mean, Y_std = prepare_vc(X, Y, lens, hp, vc_corpus)
     model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
     if checkpoint_g:
-        params, opt, ep = load_checkpoint(checkpoint_g)
+        params, opt, ep = load_checkpoint(checkpoint_g,
+                                          opt_template=gstate.opt_state)
         gstate = TrainState(params=params, opt_state=opt)
     if checkpoint_d:
-        params, opt, ep = load_checkpoint(checkpoint_d)
+        params, opt, ep = load_checkpoint(checkpoint_d,
+                                          opt_template=dstate.opt_state)
         dstate = TrainState(params=params, opt_state=opt)
     cfg = StepConfig.from_hparams(hp, w_d, mse_w, mge_w, w_d > 0, update_g,
                                   has_ref=ref_params is not None)
@@ -340,3 +342,40 @@ def test_checkpoint_migrates_old_dense_scope(tmp_path):
     assert set(params["last_linear"].keys()) == {"kernel", "bias"}
     assert params["H_0"]["kernel"].shape == (3, 4)
     assert set(opt[0]["mu"]["H_0"].keys()) == {"kernel", "bias"}
+
+
+def test_checkpoint_msgpack_roundtrip_not_pickle(tmp_path):
+    """New checkpoints are msgpack (no code execution on load); the optax
+    namedtuple structure is re-imposed from a fresh opt_state template."""
+    import jax
+    import optax
+
+    from gantts_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from gantts_tpu.train.step import TrainState
+
+    params = {"H_0": {"kernel": np.full((3, 4), 0.5, np.float32),
+                      "bias": np.zeros(4, np.float32)}}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    state = TrainState(params=params, opt_state=opt_state)
+    path = save_checkpoint(state, 7, str(tmp_path), "Generator")
+    assert path.endswith("checkpoint_epoch7_Generator.pth")
+
+    with open(path, "rb") as f:
+        head = f.read(2)
+    assert not (head[0] == 0x80 and head[1] <= 5), "payload is a pickle"
+
+    params2, opt2, epoch = load_checkpoint(path, opt_template=tx.init(params))
+    assert epoch == 7
+    np.testing.assert_array_equal(params2["H_0"]["kernel"],
+                                  params["H_0"]["kernel"])
+    # structure restored: usable directly by tx.update
+    grads = jax.tree_util.tree_map(np.ones_like, params)
+    updates, _ = tx.update(grads, opt2, params2)
+    assert jax.tree_util.tree_structure(updates) == \
+        jax.tree_util.tree_structure(params)
+
+    # params-only consumers (eval scripts) need no template
+    params3, opt3, _ = load_checkpoint(path)
+    np.testing.assert_array_equal(params3["H_0"]["bias"],
+                                  params["H_0"]["bias"])

@@ -21,7 +21,9 @@ options:
     --restart_epoch=<N>         Restart epoch [default: -1].
     --reset_optimizers          Reset optimizers, otherwise restored from checkpoint.
     --log-event-path=<name>     Log event path.
-    --disable-slack             Accepted for compatibility (no-op here).
+    --disable-slack             Don't post the completion message to Slack
+                                (posting requires SLACK_API_TOKEN, as in the
+                                reference train.py:838-857).
 """
 
 from __future__ import annotations
@@ -165,12 +167,14 @@ def main(argv=None):
 
     global_epoch = 0
     if args.checkpoint_d:
-        params, opt, global_epoch = load_checkpoint(args.checkpoint_d)
+        params, opt, global_epoch = load_checkpoint(
+            args.checkpoint_d, opt_template=dstate.opt_state)
         dstate = TrainState(params=params,
                             opt_state=dstate.opt_state
                             if args.reset_optimizers or opt is None else opt)
     if args.checkpoint_g:
-        params, opt, global_epoch = load_checkpoint(args.checkpoint_g)
+        params, opt, global_epoch = load_checkpoint(
+            args.checkpoint_g, opt_template=gstate.opt_state)
         gstate = TrainState(params=params,
                             opt_state=gstate.opt_state
                             if args.reset_optimizers or opt is None else opt)
