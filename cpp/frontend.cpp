@@ -283,68 +283,107 @@ struct MinPhase {
 
 }  // namespace
 
-// f0 (T,), sp/ap (T, n_bins); noise_w (T, win_len) already windowed and
-// scaled by 1/sqrt(win_len); out (N + 2*fft_size) zero-initialized by the
-// caller; returns the used fft_size.
-extern "C" int64_t world_synthesize(const double* f0, const double* sp,
-                         const double* ap, int64_t T, int64_t n_bins,
-                         double fs, double frame_period,
-                         const double* noise_w, int64_t win_len,
-                         double* out, int64_t N) {
+// Event-based WORLD-style synthesis (oracle: world.py synthesize NumPy
+// body).  The event table and the noise stream are computed by the caller
+// (world._synthesis_events) so both renderers consume identical inputs:
+// sp/ap (T, n_bins); times (E,) fractional sample positions; voiced (E,)
+// flags; f_at (E,) per-event F0; noffs/nlens (E,) noise segment layout;
+// noise the concatenated unit-variance stream; hop in samples; out
+// (N + 2*fft_size) zero-initialized by the caller.
+extern "C" void world_synth_events(
+    const double* sp, const double* ap, int64_t T, int64_t n_bins,
+    const double* times, const uint8_t* voiced, const double* f_at,
+    const int64_t* noffs, const int64_t* nlens, int64_t E,
+    const double* noise, int64_t noise_len,
+    double hop, double fs, double* out, int64_t N) {
   const int fft_size = (int)((n_bins - 1) * 2);
-  const double hop = fs * frame_period / 1000.0;
   const int64_t out_len = N + 2 * (int64_t)fft_size;
+  const int64_t kPrePad = 64;  // world.py PULSE_PRE_PAD
   MinPhase mp(fft_size);
-  std::vector<double> spec(n_bins), ir(fft_size);
-  const int conv_ir = fft_size < 512 ? fft_size : 512;
-  std::vector<double> shaped(win_len + conv_ir - 1);
+  std::vector<double> spec(n_bins), ir(fft_size), spe(n_bins), ape(n_bins);
+  // scratch for the 2x-padded fractional shift and the FFT convolution
+  const int pad2 = 2 * fft_size;
+  std::vector<double> re2(pad2), im2(pad2), reB(pad2), imB(pad2);
+  std::vector<double> shifted(pad2);
 
-  // --- noise component: frame-synchronous OLA ---------------------------
-  for (int64_t i = 0; i < T; ++i) {
-    const int64_t center = (int64_t)((double)i * hop);
+  // FFT convolution size for noise segments: next pow2 >= max_len+fft-1
+  int64_t max_nlen = 0;
+  for (int64_t e = 0; e < E; ++e)
+    if (nlens[e] > max_nlen) max_nlen = nlens[e];
+  int conv_n = 1;
+  while (conv_n < max_nlen + fft_size - 1) conv_n <<= 1;
+  std::vector<double> reC(conv_n), imC(conv_n), reD(conv_n), imD(conv_n);
+
+  for (int64_t e = 0; e < E; ++e) {
+    const double t = times[e];
+    const double p = t / hop;
+    int64_t i0 = (int64_t)p;           // Python int() truncation (p >= 0)
+    if (i0 > T - 1) i0 = T - 1;
+    int64_t i1 = i0 + 1 < T ? i0 + 1 : T - 1;
+    double w = p - (double)i0;
+    if (w < 0.0) w = 0.0;
+    if (w > 1.0) w = 1.0;
     for (int64_t k = 0; k < n_bins; ++k) {
-      const double a = ap[i * n_bins + k];
-      spec[k] = sp[i * n_bins + k] * a * a;
+      spe[k] = (1.0 - w) * sp[i0 * n_bins + k] + w * sp[i1 * n_bins + k];
+      ape[k] = (1.0 - w) * ap[i0 * n_bins + k] + w * ap[i1 * n_bins + k];
     }
-    mp.compute(spec.data(), (int)n_bins, fft_size, ir.data());
-    // shaped = conv(noise_w[i], ir[:conv_ir]) (full mode)
-    std::fill(shaped.begin(), shaped.end(), 0.0);
-    const double* nz = noise_w + i * win_len;
-    for (int64_t a = 0; a < win_len; ++a) {
-      const double na = nz[a];
-      if (na == 0.0) continue;
-      double* dst = shaped.data() + a;
-      for (int b = 0; b < conv_ir; ++b) dst[b] += na * ir[b];
-    }
-    ola_add(out, out_len, shaped.data(), (int64_t)shaped.size(), center, 1.0);
-  }
+    const int64_t start = (int64_t)std::floor(t);
 
-  // --- periodic component: pulse-synchronous ----------------------------
-  double phase = 0.0;
-  int64_t n = 0;
-  const int64_t hop_half = (int64_t)(hop / 2) > 1 ? (int64_t)(hop / 2) : 1;
-  while (n < N) {
-    int64_t frame = (int64_t)((double)n / hop);
-    if (frame > T - 1) frame = T - 1;
-    const double f = f0[frame];
-    if (f <= 0.0) {
-      phase = 0.0;
-      n += hop_half;
-      continue;
-    }
-    phase += f / fs;
-    if (phase >= 1.0) {
-      phase -= 1.0;
-      for (int64_t k = 0; k < n_bins; ++k) {
-        const double a = ap[frame * n_bins + k];
-        spec[k] = sp[frame * n_bins + k] * (1.0 - a * a);
-      }
+    if (voiced[e]) {
+      for (int64_t k = 0; k < n_bins; ++k)
+        spec[k] = spe[k] * (1.0 - ape[k] * ape[k]);
       mp.compute(spec.data(), (int)n_bins, fft_size, ir.data());
-      ola_add(out, out_len, ir.data(), fft_size, n, std::sqrt(fs / f));
+      // exact fractional shift on the zero-padded 2x grid: the sinc
+      // pre-ring of the sharp minimum-phase onset lands in the kPrePad
+      // samples before the pulse (see world.py synthesize for rationale)
+      const double frac = t - (double)start;
+      std::fill(re2.begin(), re2.end(), 0.0);
+      std::fill(im2.begin(), im2.end(), 0.0);
+      std::copy(ir.begin(), ir.end(), re2.begin());
+      fft_c(re2, im2, /*inverse=*/false);
+      const double dly = (double)kPrePad + frac;
+      for (int k = 0; k < pad2; ++k) {
+        // exp(-2*pi*i*k'*dly/pad2) with the hermitian-consistent signed
+        // frequency index (matches numpy rfft/irfft semantics for k<=N/2
+        // and its conjugate mirror above)
+        const int kk = k <= pad2 / 2 ? k : k - pad2;
+        const double a = -2.0 * M_PI * (double)kk * dly / (double)pad2;
+        const double wr = std::cos(a), wi = std::sin(a);
+        const double nr = re2[k] * wr - im2[k] * wi;
+        im2[k] = re2[k] * wi + im2[k] * wr;
+        re2[k] = nr;
+      }
+      fft_c(re2, im2, /*inverse=*/true);
+      for (int k = 0; k < pad2; ++k) shifted[k] = re2[k];
+      ola_add(out, out_len, shifted.data(), pad2, start - kPrePad,
+              std::sqrt(fs / f_at[e]));
     }
-    n += 1;
+
+    const int64_t L = nlens[e];
+    if (L > 0) {
+      for (int64_t k = 0; k < n_bins; ++k)
+        spec[k] = spe[k] * ape[k] * ape[k];
+      mp.compute(spec.data(), (int)n_bins, fft_size, ir.data());
+      // shaped = conv(noise[noff:noff+L], ir) via FFT (full length)
+      std::fill(reC.begin(), reC.end(), 0.0);
+      std::fill(imC.begin(), imC.end(), 0.0);
+      std::fill(reD.begin(), reD.end(), 0.0);
+      std::fill(imD.begin(), imD.end(), 0.0);
+      const double* seg = noise + noffs[e];
+      std::copy(seg, seg + L, reC.begin());
+      std::copy(ir.begin(), ir.end(), reD.begin());
+      fft_c(reC, imC, /*inverse=*/false);
+      fft_c(reD, imD, /*inverse=*/false);
+      for (int k = 0; k < conv_n; ++k) {
+        const double nr = reC[k] * reD[k] - imC[k] * imD[k];
+        imC[k] = reC[k] * imD[k] + imC[k] * reD[k];
+        reC[k] = nr;
+      }
+      fft_c(reC, imC, /*inverse=*/true);
+      // full convolution length L + fft_size - 1
+      ola_add(out, out_len, reC.data(), L + fft_size - 1, start, 1.0);
+    }
   }
-  return fft_size;
 }
 
 // ---------------------------------------------------------------------------
@@ -505,34 +544,47 @@ void cheaptrick_frames(const double* x, int64_t n, const double* f0,
   const int n_bins = fft_size / 2 + 1;
   std::vector<double> re(fft_size), im(fft_size), ps(n_bins), ext, cs;
   std::vector<double> cep(fft_size), lif(n_bins);
+  const int kUvAvgSegments = 9;  // oracle: world.py UV_AVG_SEGMENTS
   for (int64_t i = 0; i < T; ++i) {
-    const double f = f0[i] > f0_floor / 2.0 ? f0[i] : 500.0;
+    const bool voiced = f0[i] > f0_floor / 2.0;
+    const double f = voiced ? f0[i] : 500.0;
     const double T0 = fs / f;
     const int64_t half = (int64_t)(1.5 * T0);
     const int64_t c = (int64_t)std::nearbyint(tpos[i] * fs);
     const int64_t L = 2 * half + 1;
-    // windowed, DC-removed segment straight into the FFT input.  The DC
-    // sums run over the FULL window even if it exceeds fft_size (the
-    // oracle subtracts first, then np.fft.rfft truncates).
-    std::fill(re.begin(), re.end(), 0.0);
-    std::fill(im.begin(), im.end(), 0.0);
-    double wsum = 0.0, xsum = 0.0;
     const double ang = L > 1 ? 2.0 * M_PI / (double)(L - 1) : 0.0;
-    for (int64_t j = 0; j < L; ++j) {
-      const int64_t idx = c - half + j;
-      const double s = (idx >= 0 && idx < n) ? x[idx] : 0.0;
-      const double w = 0.5 - 0.5 * std::cos(ang * (double)j);
-      if (j < fft_size) re[j] = s * w;
-      wsum += w;
-      xsum += s * w;
+    // Unvoiced frames Welch-average K sub-window periodograms spaced T0
+    // apart (oracle: world.py cheaptrick; rationale documented there).
+    const int K = voiced ? 1 : kUvAvgSegments;
+    std::fill(ps.begin(), ps.end(), 0.0);
+    for (int sub = 0; sub < K; ++sub) {
+      const int64_t off =
+          (int64_t)std::nearbyint(((double)sub - (double)(K - 1) / 2.0) * T0);
+      // windowed, DC-removed segment straight into the FFT input.  The DC
+      // sums run over the FULL window even if it exceeds fft_size (the
+      // oracle subtracts first, then np.fft.rfft truncates).
+      std::fill(re.begin(), re.end(), 0.0);
+      std::fill(im.begin(), im.end(), 0.0);
+      double wsum = 0.0, xsum = 0.0;
+      for (int64_t j = 0; j < L; ++j) {
+        const int64_t idx = c - half + off + j;
+        const double s = (idx >= 0 && idx < n) ? x[idx] : 0.0;
+        const double w = 0.5 - 0.5 * std::cos(ang * (double)j);
+        if (j < fft_size) re[j] = s * w;
+        wsum += w;
+        xsum += s * w;
+      }
+      const double dc = xsum / std::max(wsum, 1e-12);
+      for (int64_t j = 0; j < L && j < fft_size; ++j) {
+        const double w = 0.5 - 0.5 * std::cos(ang * (double)j);
+        re[j] -= w * dc;
+      }
+      fft_c(re, im, /*inverse=*/false);
+      for (int k = 0; k < n_bins; ++k)
+        ps[k] += re[k] * re[k] + im[k] * im[k];
     }
-    const double dc = xsum / std::max(wsum, 1e-12);
-    for (int64_t j = 0; j < L && j < fft_size; ++j) {
-      const double w = 0.5 - 0.5 * std::cos(ang * (double)j);
-      re[j] -= w * dc;
-    }
-    fft_c(re, im, /*inverse=*/false);
-    for (int k = 0; k < n_bins; ++k) ps[k] = re[k] * re[k] + im[k] * im[k];
+    if (K > 1)
+      for (int k = 0; k < n_bins; ++k) ps[k] /= (double)K;
     // rectangular smoothing, width 2f/3 Hz (oracle _linear_smoothing)
     const double w_bins = (2.0 * f / 3.0) * (double)fft_size / fs;
     if (w_bins > 1.0) {

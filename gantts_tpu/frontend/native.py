@@ -97,13 +97,16 @@ def _load_locked():
     lib.banded_cholesky_solve.restype = ctypes.c_int
 
     try:
-        lib.world_synthesize.argtypes = [
-            c_double_p, c_double_p, c_double_p, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
-            c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64]
-        lib.world_synthesize.restype = ctypes.c_int64
+        c_int64_p = ctypes.POINTER(ctypes.c_int64)
+        c_uint8_p = ctypes.POINTER(ctypes.c_uint8)
+        lib.world_synth_events.argtypes = [
+            c_double_p, c_double_p, ctypes.c_int64, ctypes.c_int64,
+            c_double_p, c_uint8_p, c_double_p, c_int64_p, c_int64_p,
+            ctypes.c_int64, c_double_p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, c_double_p, ctypes.c_int64]
+        lib.world_synth_events.restype = None
     except AttributeError:  # stale library build without the synth engine
-        lib.world_synthesize = None
+        lib.world_synth_events = None
 
     try:
         lib.ncc_refine.argtypes = [
@@ -159,28 +162,40 @@ def mlsa_synthesis(excitation, b_frames, alpha, hopsize, pd=5):
     return out
 
 
-def has_world_synthesize() -> bool:
+def has_world_synth_events() -> bool:
     lib = _load()
-    return lib is not None and getattr(lib, "world_synthesize", None) is not None
+    return lib is not None and \
+        getattr(lib, "world_synth_events", None) is not None
 
 
-def world_synthesize(f0, sp, ap, fs, frame_period, noise_w, n_out):
-    """Full WORLD-style synthesis in C++ (see cpp/frontend.cpp).
+def world_synth_events(sp, ap, times, voiced, f_at, noffs, nlens, noise,
+                       hop, fs, n_out):
+    """Event-based WORLD-style synthesis in C++ (cpp/frontend.cpp).
 
-    noise_w: (T, win_len) pre-windowed/scaled noise (the caller generates it
-    so C++ and NumPy paths share the random stream).  Returns (n_out,)."""
+    The event table (pulse times incl. sub-sample position, voicing flags,
+    per-event f0, noise segment offsets/lengths) and the noise stream are
+    computed by the caller (world._synthesis_events) so the C++ and NumPy
+    renderers consume identical inputs and agree to FFT rounding."""
     lib = _load()
-    f0 = np.ascontiguousarray(f0, dtype=np.float64)
     sp = np.ascontiguousarray(sp, dtype=np.float64)
     ap = np.ascontiguousarray(ap, dtype=np.float64)
-    noise_w = np.ascontiguousarray(noise_w, dtype=np.float64)
+    times = np.ascontiguousarray(times, dtype=np.float64)
+    voiced = np.ascontiguousarray(voiced, dtype=np.uint8)
+    f_at = np.ascontiguousarray(f_at, dtype=np.float64)
+    noffs = np.ascontiguousarray(noffs, dtype=np.int64)
+    nlens = np.ascontiguousarray(nlens, dtype=np.int64)
+    noise = np.ascontiguousarray(noise, dtype=np.float64)
     T, n_bins = sp.shape
     fft_size = (n_bins - 1) * 2
     out = np.zeros(n_out + 2 * fft_size, dtype=np.float64)
-    lib.world_synthesize(
-        _ptr(f0), _ptr(sp), _ptr(ap), T, n_bins,
-        ctypes.c_double(float(fs)), ctypes.c_double(float(frame_period)),
-        _ptr(noise_w), noise_w.shape[1], _ptr(out), int(n_out))
+    lib.world_synth_events(
+        _ptr(sp), _ptr(ap), T, n_bins, _ptr(times),
+        voiced.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _ptr(f_at),
+        noffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nlens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(times), _ptr(noise), len(noise),
+        ctypes.c_double(float(hop)), ctypes.c_double(float(fs)),
+        _ptr(out), int(n_out))
     return out[:n_out]
 
 

@@ -47,6 +47,7 @@ import numpy as np
 DEFAULT_F0_FLOOR = 71.0
 DEFAULT_F0_CEIL = 800.0
 DEFAULT_FRAME_PERIOD = 5.0
+UV_AVG_SEGMENTS = 9    # unvoiced periodogram sub-windows (see cheaptrick)
 
 
 def get_cheaptrick_fft_size(fs, f0_floor=DEFAULT_F0_FLOOR):
@@ -543,18 +544,31 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
     default_f0 = 500.0
 
     for i in range(T):
-        f = f0[i] if f0[i] > f0_floor / 2 else default_f0
+        voiced = f0[i] > f0_floor / 2
+        f = f0[i] if voiced else default_f0
         T0 = fs / f
         half = int(1.5 * T0)
         c = int(round(temporal_positions[i] * fs))
-        idx = np.arange(c - half, c + half + 1)
-        seg = np.zeros(len(idx))
-        ok = (idx >= 0) & (idx < len(x))
-        seg[ok] = x[idx[ok]]
-        win = np.hanning(len(seg))
-        wseg = seg * win
-        wseg -= win * (wseg.sum() / max(win.sum(), 1e-12))  # DC removal
-        ps = np.abs(np.fft.rfft(wseg, fft_size)) ** 2
+        # Unvoiced frames: Welch-average K sub-window periodograms spaced
+        # T0 apart (conscious improvement over WORLD's single window; no
+        # harmonic structure exists to protect, and the single 3*T0=6 ms
+        # window leaves the noise periodogram with ~4 degrees of freedom —
+        # the dominant term in copy-synthesis MCD.  K=9 spans ~22 ms and
+        # cuts the unvoiced co-analysis MCD ~2x; measured in
+        # vocoder_fidelity.json).  Voiced frames are untouched.
+        K = 1 if voiced else UV_AVG_SEGMENTS
+        ps = np.zeros(n_bins)
+        for j in range(K):
+            off = int(round((j - (K - 1) / 2.0) * T0))
+            idx = np.arange(c - half + off, c + half + 1 + off)
+            seg = np.zeros(len(idx))
+            ok = (idx >= 0) & (idx < len(x))
+            seg[ok] = x[idx[ok]]
+            win = np.hanning(len(seg))
+            wseg = seg * win
+            wseg -= win * (wseg.sum() / max(win.sum(), 1e-12))  # DC removal
+            ps += np.abs(np.fft.rfft(wseg, fft_size)) ** 2
+        ps /= K
         ps = _linear_smoothing(ps, 2.0 * f / 3.0, fs, fft_size)
         ps = np.maximum(ps, 1e-12 * max(ps.max(), 1e-300))
         # liftering: sinc recovery of the rect smoothing + q1 compensation
@@ -739,19 +753,77 @@ def decode_aperiodicity(coded_aperiodicity, fs, fft_size):
 
 def _min_phase_ir(power_spec, fft_size):
     """Minimum-phase impulse response from a one-sided power spectrum."""
+    return np.fft.irfft(_min_phase_spectrum(power_spec, fft_size), fft_size)
+
+
+def _min_phase_spectrum(power_spec, fft_size):
+    """One-sided complex minimum-phase spectrum from a power spectrum."""
     logmag = 0.5 * np.log(np.maximum(power_spec, 1e-300))
     c = np.fft.irfft(logmag, fft_size)
     n = fft_size // 2
     c_min = c.copy()
     c_min[1:n] *= 2.0
     c_min[n + 1:] = 0.0
-    return np.fft.irfft(np.exp(np.fft.rfft(c_min)), fft_size)
+    return np.exp(np.fft.rfft(c_min, fft_size))
+
+
+DEFAULT_UV_F0 = 500.0  # event spacing in unvoiced regions (WORLD convention)
+PULSE_PRE_PAD = 64     # room for the fractional-shift pre-ring (samples)
+
+
+def _synthesis_events(f0, fs, hop, N, default_f0=DEFAULT_UV_F0):
+    """Excitation event table for WORLD-style synthesis.
+
+    The timeline is tiled by excitation events: per-sample F0 is the linear
+    interpolation of the frame contour (unvoiced frames filled with
+    ``default_f0`` so unvoiced regions get events every fs/default_f0
+    samples), the running phase crosses an integer at each event, and the
+    crossing's sub-sample position is kept — integer-quantized pulse spacing
+    reads as period jitter (inter-harmonic noise) after re-analysis.
+
+    Returns (times, voiced, f_at) — float sample positions, voicing flags,
+    per-event interpolated F0 — with a synthetic noise-only event at t=0 so
+    the noise segments [floor(t_e), floor(t_{e+1})) tile [0, N) exactly.
+    """
+    T = len(f0)
+    frame_t = np.arange(T) * hop
+    voiced_fr = f0 > 0
+    filled = np.where(voiced_fr, f0, default_f0)
+    ts = np.arange(N, dtype=np.float64)
+    f0_s = np.interp(ts, frame_t, filled)
+    vuv_s = np.interp(ts, frame_t, voiced_fr.astype(np.float64)) > 0.5
+    phase = np.cumsum(f0_s / fs)
+    wraps = np.floor(phase)
+    prev = np.r_[0.0, wraps[:-1]]
+    cross = np.where(wraps > prev)[0]  # f0 < fs => at most one wrap/sample
+    pp = np.r_[0.0, phase[:-1]]
+    dp = phase[cross] - pp[cross]
+    frac = (wraps[cross] - pp[cross]) / np.maximum(dp, 1e-12)
+    # the integer crossing falls between samples cross-1 and cross
+    times = np.maximum((cross - 1) + np.clip(frac, 0.0, 1.0), 0.0)
+    voiced = vuv_s[cross]
+    f_at = f0_s[cross]
+    if len(times) == 0 or int(times[0]) > 0:
+        times = np.r_[0.0, times]
+        voiced = np.r_[False, voiced]
+        f_at = np.r_[default_f0, f_at]
+    return times, voiced.astype(bool), f_at
 
 
 def synthesize(f0, spectrogram, aperiodicity, fs,
                frame_period=DEFAULT_FRAME_PERIOD):
-    """WORLD-style synthesis: pulse-synchronous periodic component plus
-    frame-OLA noise component.
+    """WORLD-style synthesis: excitation events (voiced pulses at fractional
+    sample instants / unvoiced noise markers) each rendering a periodic
+    minimum-phase response plus a noise segment convolved with the
+    aperiodic minimum-phase response.
+
+    Consecutive noise segments tile the timeline (no windowed OLA, so the
+    aperiodic component's power is exactly sp*ap^2 with no frame-rate
+    modulation), spectra are linearly interpolated at the event time, and
+    voiced pulses apply their sub-sample position as a linear phase term —
+    the three properties that make the analysis->synthesis round trip
+    consistent (cheaptrick(synthesize(sp)) ~= sp, measured in
+    vocoder_fidelity.json).
 
     Contract of pyworld.synthesize (evaluation_vc.py:107,
     evaluation_tts.py:121): returns a float64 waveform of
@@ -764,21 +836,21 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
     hop = fs * frame_period / 1000.0
     N = int(T * hop)
 
+    times, voiced, f_at = _synthesis_events(f0, fs, hop, N)
+    starts = np.floor(times).astype(np.int64)
+    seg_ends = np.r_[starts[1:], N]
+    nlens = np.maximum(seg_ends - starts, 0)
+    noffs = np.r_[0, np.cumsum(nlens[:-1])]
+
+    # one deterministic noise stream shared by the NumPy and C++ paths
     rs = np.random.RandomState(12345)
+    noise = rs.randn(int(nlens.sum()))
 
     from gantts_tpu.frontend import native
 
-    if native.has_world_synthesize() and _is_pow2(fft_size):
-        # Full C++ engine (cpp/frontend.cpp world_synthesize; radix-2 FFT,
-        # so non-power-of-two fft_size falls through to NumPy): the noise
-        # segments are generated here, windowed and scaled, so both paths
-        # consume the identical random stream and agree to float tolerance
-        # (tests/test_frontend.py).
-        win_len = int(2 * hop)
-        win = np.hanning(win_len) / np.sqrt(win_len)
-        noise_w = rs.randn(T, win_len) * win[None, :]
-        return native.world_synthesize(f0, sp, ap, fs, frame_period,
-                                       noise_w, N)
+    if native.has_world_synth_events() and _is_pow2(fft_size):
+        return native.world_synth_events(
+            sp, ap, times, voiced, f_at, noffs, nlens, noise, hop, fs, N)
 
     out = np.zeros(N + 2 * fft_size)
 
@@ -791,35 +863,40 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
             e = min(len(out), int(offset) + len(ir))
             out[s:e] += gain * ir[s - int(offset): e - int(offset)]
 
-    # --- noise (aperiodic) component: frame-synchronous OLA ----------------
-    win_len = int(2 * hop)
-    win = np.hanning(win_len)
-    for i in range(T):
-        center = int(i * hop)
-        noise = rs.randn(win_len)
-        noise_spec = sp[i] * ap[i] ** 2
-        ir = _min_phase_ir(noise_spec, fft_size)
-        shaped = np.convolve(noise * win, ir[: min(fft_size, 512)])
-        _ola(shaped, center, 1.0 / np.sqrt(win_len))
+    import scipy.signal
 
-    # --- periodic component: pulse-synchronous --------------------------
-    phase = 0.0
-    n = 0
-    while n < N:
-        frame = min(int(n / hop), T - 1)
-        f = f0[frame]
-        if f <= 0:
-            phase = 0.0
-            n += max(1, int(hop // 2))
-            continue
-        phase += f / fs
-        if phase >= 1.0:
-            phase -= 1.0
-            # pulse here: periodic response from this frame's envelope
-            per_spec = sp[frame] * (1.0 - ap[frame] ** 2)
-            ir = _min_phase_ir(per_spec, fft_size)
-            gain = np.sqrt(fs / f)  # energy normalization per period
-            _ola(ir[:fft_size], n, gain)
-        n += 1
+    k2 = np.arange(fft_size + 1)
+    for e in range(len(times)):
+        t = times[e]
+        p = t / hop
+        i0 = min(int(p), T - 1)
+        i1 = min(i0 + 1, T - 1)
+        w = min(max(p - i0, 0.0), 1.0)
+        spe = (1.0 - w) * sp[i0] + w * sp[i1]
+        ape = (1.0 - w) * ap[i0] + w * ap[i1]
+        ap2 = ape * ape
+        if voiced[e]:
+            H = _min_phase_spectrum(spe * (1.0 - ap2), fft_size)
+            ir = np.fft.irfft(H, fft_size)
+            # Fractional positioning on a zero-padded 2x grid: the linear
+            # phase is exact, and the sinc pre-ring of the sharp minimum-
+            # phase onset lands in the PULSE_PRE_PAD samples before the
+            # pulse instead of wrapping 1 fft_size later (a circular shift
+            # on the unpadded buffer sprays the wrapped pre-ring as
+            # broadband noise ~15 dB over the envelope's high band).
+            frac = t - starts[e]
+            buf = np.zeros(2 * fft_size)
+            buf[:fft_size] = ir
+            sh = np.fft.irfft(
+                np.fft.rfft(buf) * np.exp(
+                    -2j * np.pi * k2 * (PULSE_PRE_PAD + frac)
+                    / (2 * fft_size)), 2 * fft_size)
+            _ola(sh, starts[e] - PULSE_PRE_PAD, np.sqrt(fs / f_at[e]))
+        L = int(nlens[e])
+        if L > 0:
+            h_ap = _min_phase_ir(spe * ap2, fft_size)
+            seg = noise[noffs[e]: noffs[e] + L]
+            shaped = scipy.signal.fftconvolve(seg, h_ap)
+            _ola(shaped, starts[e], 1.0)
 
     return out[:N]

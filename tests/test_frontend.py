@@ -256,10 +256,11 @@ def test_native_banded_solve_matches_scipy():
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
 def test_native_world_synthesize_matches_python(monkeypatch):
-    """The C++ synthesis engine must reproduce the NumPy oracle
-    sample-for-sample (identical noise stream, FFT rounding only)."""
-    if not native.has_world_synthesize():
-        pytest.skip("library built without world_synthesize")
+    """The C++ event-based synthesis engine must reproduce the NumPy oracle
+    sample-for-sample (identical event table + noise stream, FFT rounding
+    only)."""
+    if not native.has_world_synth_events():
+        pytest.skip("library built without world_synth_events")
     rs = np.random.RandomState(0)
     fs, T = 16000, 60
     n_bins = world.get_cheaptrick_fft_size(fs) // 2 + 1
@@ -271,7 +272,7 @@ def test_native_world_synthesize_matches_python(monkeypatch):
 
     y_cc = world.synthesize(f0, sp, ap, fs)
 
-    monkeypatch.setattr(native, "has_world_synthesize", lambda: False)
+    monkeypatch.setattr(native, "has_world_synth_events", lambda: False)
     y_py = world.synthesize(f0, sp, ap, fs)
 
     assert y_cc.shape == y_py.shape

@@ -55,7 +55,10 @@ def test_copy_synthesis_mcd_and_aperiodicity():
     sp = world.cheaptrick(x, f0, t, FS)
     ap = world.d4c(x, f0, t, FS)
     y = world.synthesize(f0, sp, ap, FS)
-    assert mcd(x, y) < 4.0
+    # bench average 1.55 dB (vocoder_fidelity.json) after the event-based
+    # synthesis rebuild + unvoiced spectral averaging; margin for the
+    # single-utterance spread
+    assert mcd(x, y) < 2.2
 
     n = min(len(f0), len(vuv))
     v = (f0[:n] > 0) & vuv[:n]
