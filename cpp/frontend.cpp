@@ -637,40 +637,52 @@ void cheaptrick_frames(const double* x, int64_t n, const double* f0,
 // Oracle: the per-frame band-NCC loop of world.py d4c.  band_sigs is
 // (n_bands, n) row-major (band-passed copies of the signal); band_ap out
 // (T, n_bands) must be pre-filled with 1 - 1e-12 by the caller.
-void d4c_band_ncc(const double* band_sigs, int64_t n_bands, int64_t n,
-                  const double* f0, const double* tpos, int64_t T, double fs,
-                  double* band_ap) {
-  std::vector<double> seg;
+// Oracle: world.py _band_ap_subcplx_py.  band_re/band_im are the analytic
+// signals of the band-passed waveform, (n_bands, n) row-major; band_ap out
+// (T, n_bands) pre-filled with 1 - 1e-12 by the caller.  Short sub-window
+// complex-correlation magnitudes, energy-weighted (rationale in the oracle
+// docstring).
+void d4c_band_cplx(const double* band_re, const double* band_im,
+                   int64_t n_bands, int64_t n, const double* f0,
+                   const double* tpos, int64_t T, double fs,
+                   double sub_periods, int n_sub, double* band_ap) {
   for (int64_t i = 0; i < T; ++i) {
     const double f = f0[i];
     if (f <= 0.0) continue;
     const double T0 = fs / f;
-    const int64_t half = (int64_t)(2.5 * T0);
-    const int64_t c = (int64_t)std::nearbyint(tpos[i] * fs);
-    int64_t lo = c - half, hi = c + half;
-    if (lo < 0) lo = 0;
-    if (hi > n) hi = n;
-    const int64_t len = hi - lo;
-    if (len < (int64_t)(2.0 * T0) + 2) continue;
     const int64_t lag0 = (int64_t)std::nearbyint(T0);
-    if (lag0 >= len - 1) continue;
-    // peak-track around the estimated lag (+-3% of T0, >=1 sample): the
-    // periodicity measure should read the correlation PEAK, not the value
-    // at a possibly-off-by-a-sample estimated period (same rationale as
-    // stonemask) — f0 error otherwise reads as fake aperiodicity.
-    const int64_t srch = std::max((int64_t)1, (int64_t)std::nearbyint(0.03 * T0));
+    const int64_t srch =
+        std::max((int64_t)1, (int64_t)std::nearbyint(0.03 * T0));
+    const int64_t c = (int64_t)std::nearbyint(tpos[i] * fs);
+    const int64_t subL = (int64_t)(sub_periods * T0);
     for (int64_t b = 0; b < n_bands; ++b) {
-      centered_segment(band_sigs + b * n, n, lo, hi, seg);
-      const double e = dot_n(seg.data(), seg.data(), len);
-      if (e < 1e-12) continue;
-      double r = 0.0;
-      for (int64_t lag = std::max((int64_t)2, lag0 - srch);
-           lag <= std::min(len - 2, lag0 + srch); ++lag) {
-        double rl = dot_n(seg.data(), seg.data() + lag, len - lag) / e;
-        rl /= std::max(1e-9, 1.0 - (double)lag / (double)len);
-        r = std::max(r, rl);
+      const double* zr = band_re + b * n;
+      const double* zi = band_im + b * n;
+      double num = 0.0, den = 0.0;
+      for (int s = 0; s < n_sub; ++s) {
+        const double off = ((double)s - (double)(n_sub - 1) / 2.0) * T0;
+        const int64_t s0 = (int64_t)((double)c + off - (double)subL / 2.0);
+        const int64_t s1 = s0 + subL;
+        if (s0 < 0 || s1 + lag0 + srch >= n) continue;
+        const double* ar = zr + s0;
+        const double* ai = zi + s0;
+        const double ea = dot_n(ar, ar, subL) + dot_n(ai, ai, subL);
+        if (ea < 1e-300) continue;
+        double best = 0.0;
+        for (int64_t lag = lag0 - srch; lag <= lag0 + srch; ++lag) {
+          const double* br = zr + s0 + lag;
+          const double* bi = zi + s0 + lag;
+          const double eb = dot_n(br, br, subL) + dot_n(bi, bi, subL);
+          const double cr = dot_n(ar, br, subL) + dot_n(ai, bi, subL);
+          const double ci = dot_n(ar, bi, subL) - dot_n(ai, br, subL);
+          const double d = std::sqrt(std::max(1e-300, ea * eb));
+          best = std::max(best, std::sqrt(cr * cr + ci * ci) / d);
+        }
+        num += ea * best;
+        den += ea;
       }
-      r = std::min(std::max(r, 0.0), 1.0 - 1e-12);
+      if (den <= 0.0) continue;
+      const double r = std::min(std::max(num / den, 0.0), 1.0 - 1e-12);
       band_ap[i * n_bands + b] = std::sqrt(std::max(1.0 - r, 1e-12));
     }
   }

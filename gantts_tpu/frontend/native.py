@@ -123,12 +123,14 @@ def _load_locked():
             ctypes.c_int64, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int, c_double_p]
         lib.cheaptrick_frames.restype = None
-        lib.d4c_band_ncc.argtypes = [
-            c_double_p, ctypes.c_int64, ctypes.c_int64, c_double_p,
-            c_double_p, ctypes.c_int64, ctypes.c_double, c_double_p]
-        lib.d4c_band_ncc.restype = None
+        lib.d4c_band_cplx.argtypes = [
+            c_double_p, c_double_p, ctypes.c_int64, ctypes.c_int64,
+            c_double_p, c_double_p, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, c_double_p]
+        lib.d4c_band_cplx.restype = None
     except AttributeError:  # stale library build without the analysis engine
         lib.ncc_refine = None
+        lib.d4c_band_cplx = None
 
     try:
         lib.coherence_gate.argtypes = [
@@ -268,16 +270,26 @@ def cheaptrick_frames(x, f0, temporal_positions, fs, q1, f0_floor, fft_size):
     return sp
 
 
-def d4c_band_ncc(band_sigs, f0, temporal_positions, fs):
-    """C++ twin of world.py d4c's band-NCC loop; (T, n_bands) band ap."""
+def has_d4c_band_cplx() -> bool:
     lib = _load()
-    band_sigs = np.ascontiguousarray(band_sigs, dtype=np.float64)
+    return lib is not None and \
+        getattr(lib, "d4c_band_cplx", None) is not None
+
+
+def d4c_band_cplx(band_re, band_im, f0, temporal_positions, fs,
+                  sub_periods, n_sub):
+    """C++ twin of world.py _band_ap_subcplx_py; (T, n_bands) band ap."""
+    lib = _load()
+    band_re = np.ascontiguousarray(band_re, dtype=np.float64)
+    band_im = np.ascontiguousarray(band_im, dtype=np.float64)
     f0 = np.ascontiguousarray(f0, dtype=np.float64)
     tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
-    n_bands, n = band_sigs.shape
+    n_bands, n = band_re.shape
     band_ap = np.full((len(f0), n_bands), 1.0 - 1e-12, dtype=np.float64)
-    lib.d4c_band_ncc(_ptr(band_sigs), n_bands, n, _ptr(f0), _ptr(tpos),
-                     len(f0), ctypes.c_double(float(fs)), _ptr(band_ap))
+    lib.d4c_band_cplx(_ptr(band_re), _ptr(band_im), n_bands, n, _ptr(f0),
+                      _ptr(tpos), len(f0), ctypes.c_double(float(fs)),
+                      ctypes.c_double(float(sub_periods)), int(n_sub),
+                      _ptr(band_ap))
     return band_ap
 
 

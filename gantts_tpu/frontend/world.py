@@ -606,12 +606,79 @@ def _linear_smoothing(ps, width_hz, fs, fft_size):
 # Aperiodicity
 # ---------------------------------------------------------------------------
 
+D4C_SUB_PERIODS = 1.5  # sub-window length (periods) for the band measure
+D4C_N_SUB = 5          # sub-windows per frame
+
+
+def _band_ap_subcplx_py(band_re, band_im, f0, temporal_positions, fs,
+                        sub_periods=D4C_SUB_PERIODS, n_sub=D4C_N_SUB):
+    """NumPy oracle for the per-frame band periodicity measure
+    (cpp/frontend.cpp d4c_band_cplx).
+
+    Periodicity r per band = energy-weighted mean over ``n_sub`` short
+    sub-windows (each ``sub_periods`` * T0 long, spaced T0 apart) of the
+    MAGNITUDE of the complex correlation of the band's analytic signal at
+    lag ~T0 (max over a +-3% lag search).  Short sub-windows keep the
+    within-window f0 chirp (vibrato/declination) from decorrelating high
+    harmonics, and the complex magnitude is insensitive to the carrier
+    phase offset left by the integer-lag grid — the two effects that made
+    a plain long-window NCC overestimate high-band aperiodicity ~5x on
+    known-aperiodicity mixtures (see tools/copy_synthesis_bench.py
+    d4c_accuracy).  ap = sqrt(1 - r)."""
+    n_bands, n = band_re.shape
+    T = len(f0)
+    band_ap = np.ones((T, n_bands)) * (1.0 - 1e-12)
+    for i in range(T):
+        f = f0[i]
+        if f <= 0:
+            continue
+        T0 = fs / f
+        lag0 = int(round(T0))
+        srch = max(1, int(round(0.03 * T0)))
+        c = int(round(temporal_positions[i] * fs))
+        subL = int(sub_periods * T0)
+        offs = (np.arange(n_sub) - (n_sub - 1) / 2.0) * T0
+        for b in range(n_bands):
+            zr, zi = band_re[b], band_im[b]
+            num = 0.0
+            den = 0.0
+            for off in offs:
+                s0 = int(c + off - subL / 2)
+                s1 = s0 + subL
+                if s0 < 0 or s1 + lag0 + srch >= n:
+                    continue
+                ar, ai = zr[s0:s1], zi[s0:s1]
+                ea = np.dot(ar, ar) + np.dot(ai, ai)
+                if ea < 1e-300:
+                    continue
+                best = 0.0
+                for lag in range(lag0 - srch, lag0 + srch + 1):
+                    br, bi = zr[s0 + lag:s1 + lag], zi[s0 + lag:s1 + lag]
+                    eb = np.dot(br, br) + np.dot(bi, bi)
+                    # <a, b> for analytic signals a = ar+j*ai, b = br+j*bi
+                    cr = np.dot(ar, br) + np.dot(ai, bi)
+                    ci = np.dot(ar, bi) - np.dot(ai, br)
+                    d = np.sqrt(max(1e-300, ea * eb))
+                    best = max(best, np.sqrt(cr * cr + ci * ci) / d)
+                num += ea * best
+                den += ea
+            if den <= 0.0:
+                continue
+            r = min(max(num / den, 0.0), 1.0 - 1e-12)
+            band_ap[i, b] = np.sqrt(max(1.0 - r, 1e-12))
+    return band_ap
+
+
 def d4c(x, f0, temporal_positions, fs, threshold=0.85, fft_size=None):
     """Band aperiodicity -> full (T, fft_size//2+1) aperiodicity envelope.
 
-    Periodicity per band measured as the normalized autocorrelation of the
-    band-passed local segment at lag T0; aperiodicity = sqrt(1 - r).
-    Unvoiced frames get aperiodicity 1 - 1e-12 (pyworld convention)."""
+    Periodicity per band measured on the band-passed analytic signal as the
+    complex correlation magnitude at lag ~T0 over short sub-windows (see
+    :func:`_band_ap_subcplx_py`); aperiodicity = sqrt(1 - r).  Accuracy is
+    validated against known-aperiodicity synthetic mixtures in
+    tools/copy_synthesis_bench.py (d4c_accuracy section of
+    vocoder_fidelity.json).  Unvoiced frames get aperiodicity 1 - 1e-12
+    (pyworld convention)."""
     x = np.asarray(x, dtype=np.float64)
     if fft_size is None:
         fft_size = get_cheaptrick_fft_size(fs)
@@ -619,81 +686,44 @@ def d4c(x, f0, temporal_positions, fs, threshold=0.85, fft_size=None):
     T = len(f0)
     band_edges = _d4c_band_edges(fs)
     n_bands = len(band_edges) - 1
-    ap = np.ones((T, n_bins)) * (1.0 - 1e-12)
     freq_axis = np.arange(n_bins) * fs / fft_size
 
-    # band-pass the whole signal once per band
+    # band-pass + analytic signal for the whole waveform once per band
     import scipy.signal
 
-    band_sigs = []
+    band_re = np.empty((n_bands, len(x)))
+    band_im = np.empty((n_bands, len(x)))
     for b in range(n_bands):
         lo, hi = band_edges[b], band_edges[b + 1]
         sos = scipy.signal.butter(
             4, [max(lo, 1.0), min(hi, fs / 2 - 1.0)], btype="band",
             fs=fs, output="sos")
-        band_sigs.append(scipy.signal.sosfiltfilt(sos, x))
+        z = scipy.signal.hilbert(scipy.signal.sosfiltfilt(sos, x))
+        band_re[b] = z.real
+        band_im[b] = z.imag
 
     from gantts_tpu.frontend import native
 
-    if native.has_analysis():
-        # per-frame band NCC in C++, band->full-axis expansion vectorized
-        band_ap = native.d4c_band_ncc(
-            np.ascontiguousarray(np.stack(band_sigs)), f0,
-            temporal_positions, fs)
-        centers = (np.asarray(band_edges[:-1])
-                   + np.asarray(band_edges[1:])) / 2
-        ap_db = 20 * np.log10(band_ap)  # (T, n_bands)
-        if n_bands == 1:
-            full_db = np.broadcast_to(ap_db, (T, n_bins))
-        else:
-            j = np.clip(np.searchsorted(centers, freq_axis) - 1,
-                        0, n_bands - 2)
-            frac = (freq_axis - centers[j]) / (centers[j + 1] - centers[j])
-            full_db = ap_db[:, j] + (ap_db[:, j + 1] - ap_db[:, j]) * frac
-            full_db = np.where(freq_axis <= centers[0], ap_db[:, :1],
-                               full_db)
-            full_db = np.where(freq_axis >= centers[-1], ap_db[:, -1:],
-                               full_db)
-        return np.clip(10 ** (full_db / 20), 1e-12, 1.0 - 1e-12)
+    if native.has_d4c_band_cplx():
+        band_ap = native.d4c_band_cplx(band_re, band_im, f0,
+                                       temporal_positions, fs,
+                                       D4C_SUB_PERIODS, D4C_N_SUB)
+    else:
+        band_ap = _band_ap_subcplx_py(band_re, band_im, f0,
+                                      temporal_positions, fs)
 
-    band_ap = np.ones((T, n_bands)) * (1.0 - 1e-12)
-    for i in range(T):
-        f = f0[i]
-        if f <= 0:
-            continue
-        T0 = fs / f
-        half = int(2.5 * T0)
-        c = int(round(temporal_positions[i] * fs))
-        lo_i, hi_i = max(0, c - half), min(len(x), c + half)
-        if hi_i - lo_i < int(2 * T0) + 2:
-            continue
-        lag0 = int(round(T0))
-        if lag0 >= hi_i - lo_i - 1:
-            continue
-        # peak-track +-3% of T0 (>=1 sample) around the estimated lag so
-        # f0 error does not read as fake aperiodicity (cpp twin agrees)
-        srch = max(1, int(round(0.03 * T0)))
-        for b in range(n_bands):
-            seg = band_sigs[b][lo_i:hi_i]
-            seg = seg - seg.mean()
-            e = np.dot(seg, seg)
-            if e < 1e-12:
-                continue
-            r = 0.0
-            for lag in range(max(2, lag0 - srch),
-                             min(len(seg) - 2, lag0 + srch) + 1):
-                rl = np.dot(seg[:-lag], seg[lag:]) / e
-                rl /= max(1e-9, 1.0 - lag / len(seg))
-                r = max(r, rl)
-            r = np.clip(r, 0.0, 1.0 - 1e-12)
-            band_ap[i, b] = np.sqrt(max(1.0 - r, 1e-12))
-        # expand bands to the full frequency axis (log-linear interpolation)
-        centers = (np.asarray(band_edges[:-1]) + np.asarray(band_edges[1:])) / 2
-        ap_db = 20 * np.log10(band_ap[i])
-        full_db = np.interp(freq_axis, centers, ap_db,
-                            left=ap_db[0], right=ap_db[-1])
-        ap[i] = np.clip(10 ** (full_db / 20), 1e-12, 1.0 - 1e-12)
-    return ap
+    # expand bands to the full frequency axis (log-linear interpolation)
+    centers = (np.asarray(band_edges[:-1]) + np.asarray(band_edges[1:])) / 2
+    ap_db = 20 * np.log10(band_ap)  # (T, n_bands)
+    if n_bands == 1:
+        full_db = np.broadcast_to(ap_db, (T, n_bins))
+    else:
+        j = np.clip(np.searchsorted(centers, freq_axis) - 1, 0, n_bands - 2)
+        frac = (freq_axis - centers[j]) / (centers[j + 1] - centers[j])
+        full_db = ap_db[:, j] + (ap_db[:, j + 1] - ap_db[:, j]) * frac
+        full_db = np.where(freq_axis <= centers[0], ap_db[:, :1], full_db)
+        full_db = np.where(freq_axis >= centers[-1], ap_db[:, -1:], full_db)
+    return np.clip(10 ** (full_db / 20), 1e-12, 1.0 - 1e-12)
 
 
 def _d4c_band_edges(fs):

@@ -356,11 +356,11 @@ def test_native_cheaptrick_matches_python(monkeypatch):
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
 def test_native_d4c_matches_python(monkeypatch):
-    if not native.has_analysis():
-        pytest.skip("library built without the analysis engine")
+    if not native.has_d4c_band_cplx():
+        pytest.skip("library built without d4c_band_cplx")
     x, f0, tp, fs = _analysis_fixture(dur=0.6)
     ap_cc = world.d4c(x, f0, tp, fs)
-    monkeypatch.setattr(native, "has_analysis", lambda: False)
+    monkeypatch.setattr(native, "has_d4c_band_cplx", lambda: False)
     ap_py = world.d4c(x, f0, tp, fs)
     assert ap_cc.shape == ap_py.shape
     np.testing.assert_allclose(ap_cc, ap_py, rtol=1e-7, atol=1e-9)

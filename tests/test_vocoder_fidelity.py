@@ -55,16 +55,38 @@ def test_copy_synthesis_mcd_and_aperiodicity():
     sp = world.cheaptrick(x, f0, t, FS)
     ap = world.d4c(x, f0, t, FS)
     y = world.synthesize(f0, sp, ap, FS)
-    # bench average 1.55 dB (vocoder_fidelity.json) after the event-based
-    # synthesis rebuild + unvoiced spectral averaging; margin for the
-    # single-utterance spread
-    assert mcd(x, y) < 2.2
+    # bench average 1.33 dB (vocoder_fidelity.json) after the event-based
+    # synthesis rebuild, unvoiced spectral averaging, and the sub-window
+    # complex-correlation d4c; margin for the single-utterance spread
+    assert mcd(x, y) < 1.9
 
     n = min(len(f0), len(vuv))
     v = (f0[:n] > 0) & vuv[:n]
     uv = (f0[:n] == 0) & ~vuv[:n]
     nb = ap.shape[1]
-    assert ap[:n][v][:, : nb // 4].mean() < 0.35
-    # all-band voiced level post peak-tracked band NCC (bench: 0.32)
-    assert ap[:n][v].mean() < 0.42
+    assert ap[:n][v][:, : nb // 4].mean() < 0.15  # bench: 0.077
+    # all-band voiced level (bench: 0.138)
+    assert ap[:n][v].mean() < 0.22
     assert ap[:n][uv].mean() > 0.95
+
+
+def test_d4c_accuracy_vs_known_mixture():
+    """d4c band estimates against GROUND-TRUTH aperiodicity (the harmonic
+    and noise components are synthesized separately)."""
+    from copy_synthesis_bench import true_band_aperiodicity
+
+    x, f0_true, vuv, xh, xn = make_utterance(2, return_components=True)
+    f0, t = world.harvest(x, FS)
+    ap = world.d4c(x, f0, t, FS)
+    edges = world._d4c_band_edges(FS)
+    centers = (np.asarray(edges[:-1]) + np.asarray(edges[1:])) / 2
+    nb = ap.shape[1]
+    kc = np.round(centers / (FS / 2) * (nb - 1)).astype(int)
+    true_ap = true_band_aperiodicity(xh, xn, f0_true, edges)
+    n = min(len(f0), len(f0_true))
+    v = (f0[:n] > 0) & (f0_true[:n] > 0)
+    err = np.abs(ap[:n, kc][v] - true_ap[:n][v]).mean(axis=0)
+    # bench (6 utterances): 0.060 / 0.105 / 0.161 per band
+    assert err[0] < 0.12, err
+    assert err[1] < 0.20, err
+    assert err[2] < 0.28, err

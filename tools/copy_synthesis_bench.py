@@ -49,10 +49,12 @@ def formant_filter(fs, formants=((730, 60), (1090, 80), (2440, 120))):
     return b_all, a_all
 
 
-def make_utterance(seed, dur_s=1.2, base_f0=None):
+def make_utterance(seed, dur_s=1.2, base_f0=None, return_components=False):
     """Speech-like signal: voiced (pulse train + vibrato through formants)
     and unvoiced (filtered noise) segments.  Returns (x, f0_true, vuv_true)
-    at 5 ms frames."""
+    at 5 ms frames; with ``return_components`` also the filtered harmonic
+    and noise components (x = x_harm + x_noise, same scale) so estimator
+    accuracy can be judged against KNOWN aperiodicity."""
     import scipy.signal
 
     rs = np.random.RandomState(seed)
@@ -88,13 +90,44 @@ def make_utterance(seed, dur_s=1.2, base_f0=None):
     for h in range(1, max_h + 1):
         exc += np.sin(phase * h) / np.sqrt(h)
     exc *= v_samp
-    exc += 0.03 * rs.randn(n)               # breath noise everywhere
-    exc += 0.25 * rs.randn(n) * (~v_samp)   # unvoiced excitation
+    exc_noise = 0.03 * rs.randn(n)               # breath noise everywhere
+    exc_noise += 0.25 * rs.randn(n) * (~v_samp)  # unvoiced excitation
 
     b, a = formant_filter(FS)
-    x = scipy.signal.lfilter(b, a, exc)
-    x = x / np.abs(x).max() * 0.6
+    x_harm = scipy.signal.lfilter(b, a, exc)
+    x_noise = scipy.signal.lfilter(b, a, exc_noise)
+    x = x_harm + x_noise
+    scale = 0.6 / np.abs(x).max()
+    x = x * scale
+    if return_components:
+        return x, f0_true, vuv, x_harm * scale, x_noise * scale
     return x, f0_true, vuv
+
+
+def true_band_aperiodicity(x_harm, x_noise, f0_true, band_edges,
+                           win_s=0.015):
+    """Ground-truth coarse aperiodicity sqrt(P_noise / P_total) per frame
+    and band, from the separately known harmonic/noise components."""
+    import scipy.signal
+
+    T = len(f0_true)
+    n_bands = len(band_edges) - 1
+    out = np.ones((T, n_bands))
+    half = int(win_s * FS / 2)
+    for b in range(n_bands):
+        lo, hi = band_edges[b], band_edges[b + 1]
+        sos = scipy.signal.butter(
+            4, [max(lo, 1.0), min(hi, FS / 2 - 1.0)], btype="band",
+            fs=FS, output="sos")
+        hb = scipy.signal.sosfiltfilt(sos, x_harm)
+        nb = scipy.signal.sosfiltfilt(sos, x_noise)
+        for i in range(T):
+            c = int(i * HOP_S * FS)
+            s0, s1 = max(0, c - half), min(len(hb), c + half)
+            ph = float(np.mean(hb[s0:s1] ** 2))
+            pn = float(np.mean(nb[s0:s1] ** 2))
+            out[i, b] = np.sqrt(pn / max(ph + pn, 1e-300))
+    return out
 
 def f0_metrics(f0_est, f0_true, vuv_true, edge_tol=2):
     n = min(len(f0_est), len(f0_true))
@@ -151,8 +184,12 @@ def main():
     mcds = []
     env_errs = []
     ap_voiced_lo, ap_voiced_all, ap_unvoiced = [], [], []
+    band_edges = world._d4c_band_edges(FS)
+    centers = (np.asarray(band_edges[:-1]) + np.asarray(band_edges[1:])) / 2
+    ap_err_bands = []
     for seed in range(args.n):
-        x, f0_true, vuv_true = make_utterance(seed)
+        x, f0_true, vuv_true, x_harm, x_noise = make_utterance(
+            seed, return_components=True)
 
         f0_d, t = world.dio(x, FS)
         f0_d = world.stonemask(x, f0_d, t, FS)
@@ -179,6 +216,16 @@ def main():
         if uv.any():
             ap_unvoiced.append(float(ap[:nn][uv].mean()))
 
+        # d4c ACCURACY vs known aperiodicity (the harmonic and noise
+        # components are synthesized separately, so the true band power
+        # ratio is known): mean |est - true| per coarse band, voiced frames
+        if v.any():
+            true_ap = true_band_aperiodicity(x_harm, x_noise, f0_true,
+                                             band_edges)
+            kc = np.round(centers / (FS / 2) * (nb - 1)).astype(int)
+            est = ap[:nn, kc][v]
+            ap_err_bands.append(np.abs(est - true_ap[:nn][v]).mean(axis=0))
+
         # envelope accuracy on voiced frames vs known formant response
         import scipy.signal
 
@@ -200,8 +247,13 @@ def main():
                 true_env = filt_env * tilt
                 lo = int(300 / (FS / 2) * (n_bins - 1))
                 hi = int(4000 / (FS / 2) * (n_bins - 1))
-                d = (10 * np.log10(sp[i, lo:hi] + 1e-12)
-                     - 10 * np.log10(true_env[lo:hi] + 1e-12))
+                # NB: the clamp must sit far below the smallest true-envelope
+                # value; true_env reaches ~1e-13 near 4 kHz (the filter's
+                # absolute scale is tiny), so a 1e-12 epsilon used to inflate
+                # the "true" curve there and read as a fake -9 dB estimator
+                # bias in the 3.6-4 kHz band.
+                d = (10 * np.log10(np.maximum(sp[i, lo:hi], 1e-300))
+                     - 10 * np.log10(np.maximum(true_env[lo:hi], 1e-300)))
                 d = d - d.mean()
                 errs.append(np.abs(d).mean())
             env_errs.append(float(np.mean(errs)))
@@ -221,6 +273,10 @@ def main():
         "d4c_voiced_lowband_ap": round(float(np.mean(ap_voiced_lo)), 4),
         "d4c_voiced_allband_ap": round(float(np.mean(ap_voiced_all)), 4),
         "d4c_unvoiced_ap": round(float(np.mean(ap_unvoiced)), 4),
+        "d4c_abs_err_per_band": {
+            f"{int(band_edges[b])}-{int(band_edges[b + 1])}Hz": round(
+                float(np.mean([r[b] for r in ap_err_bands])), 4)
+            for b in range(len(band_edges) - 1)},
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
