@@ -480,20 +480,55 @@ void ncc_refine(const double* x, int64_t n, const double* f0,
 // Oracle: world.py _coherence_gate_py.  out must be initialized to f0 by
 // the caller; frames whose best NCC at the ~horizon_s lag falls below
 // thresh are zeroed.  nearbyint matches Python round() (ties to even).
+// When the horizon is period-clamped (low f0), the probe is band-limited
+// to the first kCoherenceLpHarmonics harmonics and the support shortened —
+// see the oracle docstring for the chirp-decorrelation rationale.
 void coherence_gate(const double* x, int64_t n, const double* f0,
                     const double* tpos, int64_t T, double fs,
                     double horizon_s, double thresh, double tol,
                     double* out) {
-  std::vector<double> seg;
+  const double kCoherenceLpHarmonics = 10.0;  // world.py constant
+  std::vector<double> seg, fir, flt;
   for (int64_t i = 0; i < T; ++i) {
     const double f = f0[i];
     if (f <= 0.0) continue;
     const double T0 = fs / f;
-    int64_t k = (int64_t)std::nearbyint(horizon_s * fs / T0);
-    if (k < 2) k = 2;
-    const int64_t half = (int64_t)((double)(k + 2) * T0);
+    const int64_t k_nat = (int64_t)std::nearbyint(horizon_s * fs / T0);
+    const int64_t k = k_nat < 2 ? 2 : k_nat;
+    const bool clamped = k_nat < 2;
+    const int64_t half = (int64_t)((double)k * T0 +
+                                   (clamped ? 0.75 : 2.0) * T0);
     const int64_t c = (int64_t)(tpos[i] * fs);  // Python int() truncation
-    const int64_t len = centered_segment(x, n, c - half, c + half, seg);
+    int64_t len = centered_segment(x, n, c - half, c + half, seg);
+    if (clamped && len > 0) {
+      // windowed-sinc low-pass at kCoherenceLpHarmonics * f, 'same' conv
+      const double cutoff = kCoherenceLpHarmonics * f;
+      const int64_t taps = ((int64_t)(fs / cutoff * 4.0)) | 1;
+      fir.resize(taps);
+      double hsum = 0.0;
+      for (int64_t j = 0; j < taps; ++j) {
+        const double nn = (double)(j - taps / 2);
+        const double xx = 2.0 * cutoff / fs * nn;
+        const double sinc = xx == 0.0 ? 1.0 : std::sin(M_PI * xx) / (M_PI * xx);
+        const double m1 = taps > 1 ? (double)j / (double)(taps - 1) : 0.0;
+        const double bw = 0.42 - 0.5 * std::cos(2.0 * M_PI * m1) +
+                          0.08 * std::cos(4.0 * M_PI * m1);
+        fir[j] = sinc * bw;
+        hsum += fir[j];
+      }
+      for (int64_t j = 0; j < taps; ++j) fir[j] /= hsum;
+      flt.assign(len, 0.0);
+      const int64_t off = (taps - 1) / 2;  // 'same' alignment
+      for (int64_t m = 0; m < len; ++m) {
+        double acc = 0.0;
+        for (int64_t j = 0; j < taps; ++j) {
+          const int64_t src = m + off - j;
+          if (src >= 0 && src < len) acc += seg[src] * fir[j];
+        }
+        flt[m] = acc;
+      }
+      seg.swap(flt);
+    }
     const int64_t lag_lo =
         std::max((int64_t)2, (int64_t)((double)k * T0 * (1.0 - tol)));
     const int64_t lag_hi =

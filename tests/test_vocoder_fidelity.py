@@ -12,6 +12,7 @@ import sys
 from os.path import dirname
 
 import numpy as np
+import pytest
 
 REPO = dirname(dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -90,3 +91,46 @@ def test_d4c_accuracy_vs_known_mixture():
     assert err[0] < 0.12, err
     assert err[1] < 0.20, err
     assert err[2] < 0.28, err
+
+
+@pytest.mark.parametrize("name,kw,gates", [
+    # the hardest condition: base f0 declining to ~72 Hz, right at the
+    # 71 Hz analysis floor (bench: core 0.052, mcd 1.98)
+    ("f0_low_85hz", dict(base_f0=85.0),
+     dict(vuv_error_core=0.12, copy_synthesis_mcd_db=2.6)),
+    # fs=22050 exercises the ties-to-even C++ twin rounding parity that
+    # fs=16000 never hits (bench: core 0.007, mcd 1.35)
+    ("fs22050", dict(fs=22050),
+     dict(vuv_error_core=0.05, copy_synthesis_mcd_db=1.9)),
+    # pathological voice quality (bench: core 0.041, mcd 1.51)
+    ("jitter_shimmer", dict(jitter=0.01, shimmer=0.10),
+     dict(vuv_error_core=0.10, copy_synthesis_mcd_db=2.1)),
+])
+def test_stress_condition(name, kw, gates):
+    """Per-condition fidelity gates (one utterance per condition for
+    runtime; vocoder_fidelity.json carries the 2-utterance averages for
+    every condition in copy_synthesis_bench.CONDITIONS)."""
+    from copy_synthesis_bench import run_condition
+
+    row = run_condition(kw, n_utts=1)
+    for key, bound in gates.items():
+        assert row[key] <= bound, (name, key, row)
+    assert row["gross_error_rate"] <= 0.01, (name, row)
+
+
+def test_checked_in_condition_rows_are_healthy():
+    """The committed vocoder_fidelity.json must carry a row for every
+    stress condition, each within the documented quality envelope."""
+    import json
+    from os.path import join
+
+    from copy_synthesis_bench import CONDITIONS
+
+    with open(join(REPO, "vocoder_fidelity.json")) as f:
+        fid = json.load(f)
+    rows = fid["conditions"]
+    assert set(rows) == set(CONDITIONS)
+    for name, row in rows.items():
+        assert row["copy_synthesis_mcd_db"] <= 2.4, (name, row)
+        assert row["vuv_error_core"] <= 0.10, (name, row)
+        assert row["gross_error_rate"] <= 0.01, (name, row)

@@ -49,17 +49,28 @@ def formant_filter(fs, formants=((730, 60), (1090, 80), (2440, 120))):
     return b_all, a_all
 
 
-def make_utterance(seed, dur_s=1.2, base_f0=None, return_components=False):
+def make_utterance(seed, dur_s=1.2, base_f0=None, return_components=False,
+                   fs=None, jitter=0.0, shimmer=0.0, breath=0.03,
+                   snr_db=None):
     """Speech-like signal: voiced (pulse train + vibrato through formants)
     and unvoiced (filtered noise) segments.  Returns (x, f0_true, vuv_true)
     at 5 ms frames; with ``return_components`` also the filtered harmonic
     and noise components (x = x_harm + x_noise, same scale) so estimator
-    accuracy can be judged against KNOWN aperiodicity."""
+    accuracy can be judged against KNOWN aperiodicity.
+
+    Stress knobs for the per-condition fidelity rows:
+      jitter   relative random F0 perturbation (smoothed, e.g. 0.01 = 1%)
+      shimmer  relative random amplitude modulation of the voiced source
+      breath   breath-noise excitation level (0.03 = modal, 0.15 = breathy)
+      snr_db   additive white measurement noise at this SNR (None = off)
+    """
     import scipy.signal
 
+    if fs is None:
+        fs = FS
     rs = np.random.RandomState(seed)
-    n = int(dur_s * FS)
-    tt = np.arange(n) / FS
+    n = int(dur_s * fs)
+    tt = np.arange(n) / fs
     n_frames = int(dur_s / HOP_S) + 1
     ft = np.arange(n_frames) * HOP_S
 
@@ -82,21 +93,37 @@ def make_utterance(seed, dur_s=1.2, base_f0=None, return_components=False):
 
     # sample-level excitation
     f0_samp = np.interp(tt, ft, f0_c)
+    if jitter > 0.0:
+        # smoothed random F0 perturbation (~30 Hz bandwidth), cycle-scale
+        pert = rs.randn(n)
+        pert = scipy.signal.lfilter(*scipy.signal.butter(2, 30, fs=fs), pert)
+        pert /= max(1e-12, pert.std())
+        f0_samp = f0_samp * (1.0 + jitter * pert)
     v_samp = np.interp(tt, ft, vuv.astype(float)) > 0.5
-    phase = np.cumsum(2 * np.pi * f0_samp / FS)
+    phase = np.cumsum(2 * np.pi * f0_samp / fs)
     # band-limited pulse train: sum of harmonics below 0.45*fs
     exc = np.zeros(n)
-    max_h = int(0.45 * FS / base_f0)
+    max_h = int(0.45 * fs / base_f0)
     for h in range(1, max_h + 1):
         exc += np.sin(phase * h) / np.sqrt(h)
+    if shimmer > 0.0:
+        am = rs.randn(n)
+        am = scipy.signal.lfilter(*scipy.signal.butter(2, 30, fs=fs), am)
+        am /= max(1e-12, am.std())
+        exc = exc * (1.0 + shimmer * am)
     exc *= v_samp
-    exc_noise = 0.03 * rs.randn(n)               # breath noise everywhere
-    exc_noise += 0.25 * rs.randn(n) * (~v_samp)  # unvoiced excitation
+    exc_noise = breath * rs.randn(n)              # breath noise everywhere
+    exc_noise += 0.25 * rs.randn(n) * (~v_samp)   # unvoiced excitation
 
-    b, a = formant_filter(FS)
+    b, a = formant_filter(fs)
     x_harm = scipy.signal.lfilter(b, a, exc)
     x_noise = scipy.signal.lfilter(b, a, exc_noise)
     x = x_harm + x_noise
+    if snr_db is not None:
+        meas = rs.randn(n)
+        meas *= np.sqrt((x ** 2).mean() / 10.0 ** (snr_db / 10.0))
+        x_noise = x_noise + meas
+        x = x + meas
     scale = 0.6 / np.abs(x).max()
     x = x * scale
     if return_components:
@@ -153,22 +180,65 @@ def f0_metrics(f0_est, f0_true, vuv_true, edge_tol=2):
                 gross_error_rate=gross)
 
 
-def mcd(x, y, order=24):
+def mcd(x, y, order=24, fs=None):
     """Mel-cepstral distortion (dB) between two waveforms, co-analyzed
     frame-by-frame (c1..c_order)."""
     from gantts_tpu.frontend import sptk, world
 
+    if fs is None:
+        fs = FS
     n = min(len(x), len(y))
     x, y = x[:n], y[:n]
-    f0x, tx = world.dio(x, FS)
-    spx = world.cheaptrick(x, f0x, tx, FS)
-    spy = world.cheaptrick(y, f0x, tx, FS)  # same time grid
-    alpha = sptk.mcepalpha(FS)
+    f0x, tx = world.dio(x, fs)
+    spx = world.cheaptrick(x, f0x, tx, fs)
+    spy = world.cheaptrick(y, f0x, tx, fs)  # same time grid
+    alpha = sptk.mcepalpha(fs)
     mcx = sptk.sp2mc(spx, order=order, alpha=alpha)
     mcy = sptk.sp2mc(spy, order=order, alpha=alpha)
     d = mcx[:, 1:] - mcy[:, 1:]
     return float(10.0 / np.log(10.0) * np.sqrt(2.0)
                  * np.mean(np.sqrt(np.sum(d ** 2, axis=1))))
+
+
+# Stress conditions for the per-condition fidelity rows (VERDICT round-2
+# item 2): pathological voice qualities, measurement noise, F0 near the
+# 71/700 Hz config bounds (reference hparams.py:170-197), and fs=22050
+# (exercises the ties-to-even twin rounding parity — a divergence class
+# that fs=16000 alone never catches).
+CONDITIONS = {
+    "jitter_shimmer": dict(jitter=0.01, shimmer=0.10),
+    "breathy": dict(breath=0.15),
+    "snr20db": dict(snr_db=20.0),
+    "snr10db": dict(snr_db=10.0),
+    "f0_low_85hz": dict(base_f0=85.0),
+    "f0_high_600hz": dict(base_f0=600.0),
+    "fs22050": dict(fs=22050),
+}
+
+
+def run_condition(kw, n_utts=2, seed0=100):
+    """Harvest F0 accuracy + copy-synthesis MCD under one stress condition."""
+    from gantts_tpu.frontend import world
+
+    fs = kw.get("fs", FS)
+    f0m, mcds = [], []
+    for seed in range(seed0, seed0 + n_utts):
+        x, f0_true, vuv = make_utterance(seed, **kw)
+        f0, t = world.harvest(x, fs)
+        f0m.append(f0_metrics(f0, f0_true, vuv))
+        sp = world.cheaptrick(x, f0, t, fs)
+        ap = world.d4c(x, f0, t, fs)
+        y = world.synthesize(f0, sp, ap, fs)
+        mcds.append(mcd(x, y, fs=fs))
+    return {
+        "f0_rmse_hz": round(float(np.mean(
+            [m["f0_rmse_hz"] for m in f0m])), 4),
+        "gross_error_rate": round(float(np.mean(
+            [m["gross_error_rate"] for m in f0m])), 4),
+        "vuv_error_core": round(float(np.mean(
+            [m["vuv_error_core"] for m in f0m])), 4),
+        "copy_synthesis_mcd_db": round(float(np.mean(mcds)), 4),
+    }
 
 
 def main():
@@ -277,6 +347,8 @@ def main():
             f"{int(band_edges[b])}-{int(band_edges[b + 1])}Hz": round(
                 float(np.mean([r[b] for r in ap_err_bands])), 4)
             for b in range(len(band_edges) - 1)},
+        "conditions": {name: run_condition(kw)
+                       for name, kw in CONDITIONS.items()},
     }
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
