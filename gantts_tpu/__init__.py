@@ -14,7 +14,10 @@ Layers (SURVEY.md section 7):
   io/             HTS label / question-set parsing, Merlin linguistic features
 """
 
-__version__ = "0.1.0"
+try:  # written by setup.py at build time with the git commit id appended
+    from gantts_tpu.version import version as __version__
+except ImportError:  # running from a source checkout without a build
+    __version__ = "0.1.0"
 
 import os as _os
 

@@ -134,19 +134,65 @@ class BatchIterator:
     ``seed + epoch`` for reproducibility), group into fixed-size batches, pad
     the time axis to ``round_up(batch_max_len, bucket_multiple)`` and pad the
     trailing batch with zero-length rows up to ``batch_size``.
+
+    Host-side concurrency (the reference's ``DataLoader(num_workers,
+    pin_memory)``, train.py:183-186):
+
+      * ``num_workers > 0`` — batches are assembled (normalize + pad) by a
+        thread pool and prefetched into a bounded window ahead of the
+        consumer, so the next device step's batch is ready while the current
+        one runs.  Order is identical to the synchronous path (multi-host DP
+        depends on every process seeing the same batch sequence).  Threads,
+        not processes: assembly is NumPy arithmetic that releases the GIL,
+        and the arrays land directly in the consumer's address space.
+      * ``cache_size > 0`` — up to that many NORMALIZED items are memoized
+        across epochs (the nnmnkwii ``MemoryCacheDataset`` role), so steady-
+        state epochs skip the per-item normalization entirely.
+      * torch's ``pin_memory`` has no JAX analog (device_put manages its own
+        staging buffers) — the knob is intentionally not reproduced.
     """
 
     def __init__(self, dataset, batch_size, shuffle, seed=1234,
-                 bucket_multiple=32):
+                 bucket_multiple=32, num_workers=0, cache_size=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.bucket_multiple = bucket_multiple
+        self.num_workers = num_workers
+        self.cache_size = cache_size
+        self._cache = {}
         self.epoch = 0
 
     def __len__(self):
         return -(-len(self.dataset) // self.batch_size)
+
+    def _item(self, j):
+        j = int(j)
+        if self.cache_size <= 0:
+            return self.dataset[j]
+        item = self._cache.get(j)
+        if item is None:
+            item = self.dataset[j]
+            if len(self._cache) < self.cache_size:
+                self._cache[j] = item
+        return item
+
+    def _assemble(self, idx):
+        B = self.batch_size
+        items = [self._item(j) for j in idx]
+        lengths = np.array([len(x) for x, _ in items], dtype=np.int32)
+        T = round_up(int(lengths.max()), self.bucket_multiple)
+        Dx = items[0][0].shape[-1]
+        Dy = items[0][1].shape[-1]
+        x = np.zeros((B, T, Dx), dtype=np.float32)
+        y = np.zeros((B, T, Dy), dtype=np.float32)
+        for k, (xi, yi) in enumerate(items):
+            x[k, : len(xi)] = xi
+            y[k, : len(yi)] = yi
+        full_lengths = np.zeros(B, dtype=np.int32)
+        full_lengths[: len(lengths)] = lengths
+        return x, y, full_lengths
 
     def __iter__(self):
         n = len(self.dataset)
@@ -156,18 +202,20 @@ class BatchIterator:
             rs.shuffle(order)
         self.epoch += 1
         B = self.batch_size
-        for i in range(0, n, B):
-            idx = order[i: i + B]
-            items = [self.dataset[j] for j in idx]
-            lengths = np.array([len(x) for x, _ in items], dtype=np.int32)
-            T = round_up(int(lengths.max()), self.bucket_multiple)
-            Dx = items[0][0].shape[-1]
-            Dy = items[0][1].shape[-1]
-            x = np.zeros((B, T, Dx), dtype=np.float32)
-            y = np.zeros((B, T, Dy), dtype=np.float32)
-            for k, (xi, yi) in enumerate(items):
-                x[k, : len(xi)] = xi
-                y[k, : len(yi)] = yi
-            full_lengths = np.zeros(B, dtype=np.int32)
-            full_lengths[: len(lengths)] = lengths
-            yield x, y, full_lengths
+        batches = [order[i: i + B] for i in range(0, n, B)]
+        if self.num_workers <= 0:
+            for idx in batches:
+                yield self._assemble(idx)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = max(2, 2 * self.num_workers)  # bounded prefetch window
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending = [ex.submit(self._assemble, idx)
+                       for idx in batches[:depth]]
+            for idx in batches[depth:]:
+                out = pending.pop(0).result()
+                pending.append(ex.submit(self._assemble, idx))
+                yield out
+            for fut in pending:
+                yield fut.result()

@@ -66,7 +66,8 @@ def prepare_vc(X, Y, utt_lengths, hp, data_dir):
         ds = VCDataset(X[phase], Y[phase], data_mean, data_std)
         loaders[phase] = BatchIterator(
             ds, hp.batch_size, shuffle=(phase == "train"),
-            bucket_multiple=hp.batch_bucket_multiple)
+            bucket_multiple=hp.batch_bucket_multiple,
+            num_workers=hp.num_workers, cache_size=hp.cache_size)
     return loaders, data_mean, data_std
 
 
@@ -115,7 +116,8 @@ def prepare_tts(X, Y, utt_lengths, hp, data_dir):
                         has_dynamic_features=hp.has_dynamic_features)
         loaders[phase] = BatchIterator(
             ds, hp.batch_size, shuffle=(phase == "train"),
-            bucket_multiple=hp.batch_bucket_multiple)
+            bucket_multiple=hp.batch_bucket_multiple,
+            num_workers=hp.num_workers, cache_size=hp.cache_size)
     return loaders, Y_data_mean, Y_data_std
 
 

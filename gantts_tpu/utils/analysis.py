@@ -47,10 +47,25 @@ def _hi_band_db(features, modfs):
     return float(10.0 / np.log(10.0) * np.mean(ms[hi]))
 
 
+def _modspec_curve_db(features, modfs, n_points=128):
+    """Mean-over-dimensions log modulation spectrum, downsampled to
+    ``n_points`` frequencies — small enough to live in analysis.json, dense
+    enough for tools/report.py to plot."""
+    freqs, ms = modulation_spectrum(features, modfs)
+    curve = 10.0 / np.log(10.0) * ms.mean(axis=1)
+    idx = np.linspace(0, len(freqs) - 1, n_points).astype(int)
+    return freqs[idx], curve[idx]
+
+
 def write_analysis_report(path, generated, natural_dir, static_dim, modfs):
     """GV + modulation-spectrum comparison of generated statics vs the
     natural training targets, written as ``analysis.json`` next to every
-    synthesis run (shared by evaluation_vc.py and evaluation_tts.py)."""
+    synthesis run (shared by evaluation_vc.py and evaluation_tts.py).
+
+    Besides the scalar summaries, the report carries the per-dimension GV
+    arrays and the (downsampled) modulation-spectrum curves so
+    ``tools/report.py`` can render the reference notebooks' comparison
+    figures (notebooks/Test VC.ipynb) from the JSON alone."""
     import json
     from glob import glob
     from os.path import join
@@ -58,14 +73,26 @@ def write_analysis_report(path, generated, natural_dir, static_dim, modfs):
     report = {}
     if generated:
         gen = [g[:, :static_dim] for g in generated]
-        report["gv_generated_mean"] = float(np.mean(global_variance(gen)))
+        gv_gen = global_variance(gen)
+        report["gv_generated_mean"] = float(np.mean(gv_gen))
         report["modspec_generated_hi_band_db"] = _hi_band_db(gen, modfs)
+        report["gv_generated"] = [float(v) for v in gv_gen]
+        freqs, curve = _modspec_curve_db(gen, modfs)
+        report["modspec_freqs_hz"] = [round(float(f), 3) for f in freqs]
+        report["modspec_generated_db"] = [round(float(v), 4) for v in curve]
     try:
         nat = [np.load(f)[:, :static_dim]
                for f in sorted(glob(join(natural_dir, "*.npy")))[:50]]
         if nat:
-            report["gv_natural_mean"] = float(np.mean(global_variance(nat)))
+            gv_nat = global_variance(nat)
+            report["gv_natural_mean"] = float(np.mean(gv_nat))
             report["modspec_natural_hi_band_db"] = _hi_band_db(nat, modfs)
+            report["gv_natural"] = [float(v) for v in gv_nat]
+            freqs, curve = _modspec_curve_db(nat, modfs)
+            report.setdefault("modspec_freqs_hz",
+                              [round(float(f), 3) for f in freqs])
+            report["modspec_natural_db"] = [round(float(v), 4)
+                                            for v in curve]
             if "gv_generated_mean" in report:
                 report["gv_ratio"] = (report["gv_generated_mean"]
                                       / max(report["gv_natural_mean"], 1e-30))
@@ -73,7 +100,8 @@ def write_analysis_report(path, generated, natural_dir, static_dim, modfs):
         pass
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
-    print("analysis ->", path, report)
+    print("analysis ->", path,
+          {k: v for k, v in report.items() if not isinstance(v, list)})
 
 
 def run_utterance_jobs(process, jobs, workers):

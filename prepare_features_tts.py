@@ -100,7 +100,15 @@ def extract_acoustic(task):
     lf0 = f0.copy()
     nonzero = np.nonzero(f0)
     lf0[nonzero] = np.log(f0[nonzero])
-    vuv = (lf0 != 0).astype(np.float32)
+    if hp.use_harvest:
+        # Harvest's contour can carry F0 through frames WORLD considers
+        # aperiodic; the reference derives V/UV from the 0-Hz aperiodicity
+        # band instead (prepare_features_tts.py:131-135, citing
+        # mmorise/World#35).  Same decision here for parity on the default
+        # config path.
+        vuv = (aperiodicity[:, 0] < 0.5).astype(np.float32)[:, None]
+    else:
+        vuv = (lf0 != 0).astype(np.float32)
     lf0 = P.interp1d(lf0, kind=hp.f0_interpolation_kind)
 
     if hp.mod_spec_smoothing:

@@ -74,6 +74,26 @@ def test_batch_iterator_reproducible():
     assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
 
 
+def test_batch_iterator_prefetch_matches_synchronous():
+    """num_workers prefetching must produce the IDENTICAL batch sequence
+    (multi-host DP relies on every process seeing the same batches), and
+    cache_size memoization must not change values."""
+    data = [(np.full((5 + i, 2), i, np.float32),
+             np.full((5 + i, 2), -i, np.float32)) for i in range(13)]
+    sync = BatchIterator(data, batch_size=4, shuffle=True, seed=7,
+                         bucket_multiple=8)
+    pre = BatchIterator(data, batch_size=4, shuffle=True, seed=7,
+                        bucket_multiple=8, num_workers=3, cache_size=6)
+    for epoch in range(3):  # cache warm-up then steady state
+        batches_s = list(sync)
+        batches_p = list(pre)
+        assert len(batches_s) == len(batches_p)
+        for (xs, ys, ls), (xp, yp, lp) in zip(batches_s, batches_p):
+            assert np.array_equal(xs, xp)
+            assert np.array_equal(ys, yp)
+            assert np.array_equal(ls, lp)
+
+
 def test_training_deterministic():
     """Two runs with identical seeds produce identical losses."""
     import jax

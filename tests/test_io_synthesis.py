@@ -223,3 +223,43 @@ def test_run_utterance_jobs_order_and_errors():
         run_utterance_jobs(boom, jobs, workers=4)
     with pytest.raises(ValueError, match="utterance 7"):
         run_utterance_jobs(boom, jobs, workers=1)
+
+
+def test_analysis_report_curves_and_figures(tmp_path):
+    """analysis.json carries the per-dimension GV and modspec curves, and
+    tools/report.py renders the notebook-style comparison figures from it."""
+    import json
+    import subprocess
+    import sys
+    from os.path import dirname, exists, join
+
+    from gantts_tpu.utils.analysis import write_analysis_report
+
+    rs = np.random.RandomState(0)
+    nat_dir = str(tmp_path / "natural")
+    os.makedirs(nat_dir)
+    for i in range(4):
+        np.save(join(nat_dir, f"u{i}.npy"),
+                (rs.randn(200, 30).cumsum(0) * 0.05).astype(np.float32))
+    gen = [(rs.randn(200, 30).cumsum(0) * 0.05).astype(np.float32)
+           for _ in range(3)]
+    path = str(tmp_path / "analysis.json")
+    write_analysis_report(path, gen, nat_dir, static_dim=30, modfs=200.0)
+
+    with open(path) as f:
+        rep = json.load(f)
+    assert len(rep["gv_generated"]) == 30
+    assert len(rep["gv_natural"]) == 30
+    assert len(rep["modspec_generated_db"]) == len(rep["modspec_freqs_hz"])
+    assert np.isfinite(rep["gv_ratio"])
+
+    repo = dirname(dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "figs")
+    r = subprocess.run(
+        [sys.executable, join(repo, "tools", "report.py"), path,
+         "--labels", "run", "--out", out],
+        capture_output=True, text=True,
+        env={**os.environ, "GANTTS_TPU_PLATFORM": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert exists(join(out, "gv.png"))
+    assert exists(join(out, "modspec.png"))
