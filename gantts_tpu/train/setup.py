@@ -63,6 +63,16 @@ def prepare_vc(X, Y, utt_lengths, hp, data_dir):
         # uploads only each host's row shard.  Round-robin FILE sharding
         # (an earlier design) desyncs batch counts and padded lengths
         # between hosts, deadlocking the SPMD collectives.
+        #
+        # Memory bound: each process holds the FULL corpus in host RAM.
+        # At this problem's scale that is small — the largest reference
+        # workload (slt_arctic, ~1132 utterances x ~800 frames x 187 dims
+        # f32) is ~0.7 GB, and CMU ARCTIC VC is ~0.1 GB — against >=100 GB
+        # of host RAM per TPU-v5e host.  The corpus would have to grow
+        # ~100x before a streaming loader pays for its complexity; if that
+        # happens, the contract to preserve is the global batch SCHEDULE
+        # (lengths + padded shapes identical everywhere), with only the
+        # row payloads loaded lazily per host.
         ds = VCDataset(X[phase], Y[phase], data_mean, data_std)
         loaders[phase] = BatchIterator(
             ds, hp.batch_size, shuffle=(phase == "train"),

@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Run the five BASELINE configs through their demo curricula and pin the
+quality numbers into RESULTS.md + results.json (VERDICT round-2 item 5).
+
+Configs (BASELINE.json):
+  #1 VC In2OutHighwayNet, MGE-only baseline      } vc_demo.sh
+  #2 VC In2OutHighwayNet, 5-stage GAN curriculum }
+  #3 TTS duration model (MGE)                    } tts_demo.sh
+  #4 TTS acoustic, MGE-only baseline             }
+  #5 TTS acoustic, adversarial                   }
+
+The corpora are the synthetic speech-like fixtures the demo e2e tests use
+(tests/fixtures.py) at a larger scale, run through the SHIPPED demo shell
+scripts (vc_demo.sh / tts_demo.sh -> train_gan.sh -> evaluation_*), so the
+dossier exercises the exact pipelines a user runs.  Recorded per config:
+final train/test distortions (from the per-stage scalars.jsonl that
+train_gan.sh now writes next to each checkpoint dir) and, for the eval
+outputs, the GV ratio and high-band modulation-spectrum delta vs natural
+(analysis.json) — the baseline-vs-GAN comparison the reference publishes as
+notebook plots.
+
+usage:
+    python tools/quality_dossier.py [--root /tmp/dossier] [--quick]
+        [--out-json results.json] [--out-md RESULTS.md]
+
+tests/test_results_dossier.py regression-gates the checked-in results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from os.path import dirname, join
+
+import numpy as np
+
+REPO = dirname(dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def read_series(jsonl_path, tag):
+    vals = []
+    with open(jsonl_path) as f:
+        for line in f:
+            row = json.loads(line)
+            if row["tag"] == tag:
+                vals.append((row["step"], row["value"]))
+    return vals
+
+
+def final(jsonl_path, tag):
+    series = read_series(jsonl_path, tag)
+    return round(float(series[-1][1]), 4) if series else None
+
+
+def run(cmd, cwd, env_extra, timeout=7200):
+    env = dict(os.environ, **env_extra)
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
+                       text=True, timeout=timeout)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"{cmd} failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
+    return time.time() - t0
+
+
+def analysis_summary(analysis_path):
+    with open(analysis_path) as f:
+        rep = json.load(f)
+    out = {"gv_ratio": round(rep.get("gv_ratio", float("nan")), 4)}
+    g = rep.get("modspec_generated_hi_band_db")
+    n = rep.get("modspec_natural_hi_band_db")
+    if g is not None and n is not None:
+        out["modspec_hi_band_deficit_db"] = round(n - g, 3)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="/tmp/gantts_dossier")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny epochs/corpus (smoke only, numbers meaningless)")
+    p.add_argument("--out-json", default=join(REPO, "results.json"))
+    p.add_argument("--out-md", default=join(REPO, "RESULTS.md"))
+    args = p.parse_args()
+
+    from tests.fixtures import make_arctic_vc_corpus, make_tts_corpus
+
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    if args.quick:
+        n_vc, n_tts = 12, 10
+        vc_env = dict(MAX_FILES=str(n_vc), TOTAL_EPOCH="3", G_WARMUP="1",
+                      D_WARMUP="1")
+        tts_env = dict(DURATION_EPOCHS="3", ACOUSTIC_EPOCHS="3",
+                       G_WARMUP="1", D_WARMUP="1")
+    else:
+        n_vc, n_tts = 40, 40
+        vc_env = dict(MAX_FILES=str(n_vc), TOTAL_EPOCH="40", G_WARMUP="10",
+                      D_WARMUP="5")
+        tts_env = dict(DURATION_EPOCHS="30", ACOUSTIC_EPOCHS="30",
+                       G_WARMUP="8", D_WARMUP="4")
+
+    vc_corpus = join(root, "arctic")
+    tts_corpus = join(root, "slt")
+    if not os.path.isdir(vc_corpus):
+        make_arctic_vc_corpus(vc_corpus, num=n_vc)
+    if not os.path.isdir(tts_corpus):
+        make_tts_corpus(tts_corpus, num=n_tts)
+
+    results = {"workload": {
+        "vc": f"{n_vc} synthetic parallel utterances (tests/fixtures.py "
+              f"make_arctic_vc_corpus), {vc_env['TOTAL_EPOCH']} epochs",
+        "tts": f"{n_tts} synthetic labelled utterances (make_tts_corpus), "
+               f"duration {tts_env['DURATION_EPOCHS']} / acoustic "
+               f"{tts_env['ACOUSTIC_EPOCHS']} epochs",
+        "device": "",
+    }}
+    import jax
+
+    results["workload"]["device"] = str(jax.devices()[0].platform)
+
+    # ---- VC: configs #1 (baseline) + #2 (GAN) ---------------------------
+    dt = run(["bash", join(REPO, "vc_demo.sh"), "dossier", vc_corpus],
+             cwd=root, env_extra=vc_env)
+    total = vc_env["TOTAL_EPOCH"]
+    vc_ck = join(root, "checkpoints", "vc_dossier")
+    results["vc_in2out_baseline"] = {
+        "train_mcd_db": final(join(vc_ck, "baseline/log/scalars.jsonl"),
+                              "train mcd metric"),
+        "test_mcd_db": final(join(vc_ck, "baseline/log/scalars.jsonl"),
+                             "test mcd metric"),
+        **analysis_summary(join(root, "generated",
+                                "vc_dossier_baseline", "analysis.json")),
+    }
+    results["vc_in2out_gan"] = {
+        "train_mcd_db": final(join(vc_ck, "gan/log/scalars.jsonl"),
+                              "train mcd metric"),
+        "test_mcd_db": final(join(vc_ck, "gan/log/scalars.jsonl"),
+                             "test mcd metric"),
+        **analysis_summary(join(root, "generated",
+                                "vc_dossier_gan", "analysis.json")),
+    }
+    results["vc_in2out_gan"]["wall_clock_s_full_demo"] = round(dt, 1)
+
+    # ---- TTS: configs #3 (duration), #4 (baseline ac), #5 (GAN ac) ------
+    dt = run(["bash", join(REPO, "tts_demo.sh"), "dossier", tts_corpus],
+             cwd=root, env_extra=tts_env)
+    tts_ck = join(root, "checkpoints", "tts_dossier")
+    results["tts_duration"] = {
+        "train_dur_rmse_frames": final(
+            join(tts_ck, "duration/baseline/log/scalars.jsonl"),
+            "train dur_rmse metric"),
+        "test_dur_rmse_frames": final(
+            join(tts_ck, "duration/baseline/log/scalars.jsonl"),
+            "test dur_rmse metric"),
+    }
+    for kind, key in (("baseline", "tts_acoustic_baseline"),
+                      ("gan", "tts_acoustic_gan")):
+        log_p = join(tts_ck, f"acoustic/{kind}/log/scalars.jsonl")
+        results[key] = {
+            "train_mcd_db": final(log_p, "train mcd metric"),
+            "test_mcd_db": final(log_p, "test mcd metric"),
+            "test_bap_mcd_db": final(log_p, "test bap_mcd metric"),
+            "test_f0_rmse": final(log_p, "test f0_rmse metric"),
+            "test_vuv_err": final(log_p, "test vuv_err metric"),
+            **analysis_summary(join(root, "generated",
+                                    f"tts_dossier_{kind}", "analysis.json")),
+        }
+    results["tts_acoustic_gan"]["wall_clock_s_full_demo"] = round(dt, 1)
+
+    with open(args.out_json, "w") as f:
+        json.dump(results, f, indent=2)
+        f.write("\n")
+
+    # ---- figures + markdown ---------------------------------------------
+    figs = join(dirname(args.out_md), "docs", "dossier")
+    try:
+        subprocess.run(
+            [sys.executable, join(REPO, "tools", "report.py"),
+             join(root, "generated", "tts_dossier_baseline",
+                  "analysis.json"),
+             join(root, "generated", "tts_dossier_gan", "analysis.json"),
+             "--labels", "baseline,gan", "--out", figs],
+            check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        print("figure rendering failed:", e.stderr, file=sys.stderr)
+
+    def row(name, d):
+        cells = " | ".join(f"{k} {v}" for k, v in d.items())
+        return f"| {name} | {cells} |"
+
+    md = ["# RESULTS — quality dossier (demo-scale curricula)",
+          "",
+          f"Generated by `python tools/quality_dossier.py` on "
+          f"`{results['workload']['device']}`; corpora: "
+          f"{results['workload']['vc']}; {results['workload']['tts']}.",
+          "",
+          "Regression-gated by `tests/test_results_dossier.py`. "
+          "The adversarial configs must beat (or match) MGE-only on the "
+          "oversmoothing evidence: GV ratio closer to 1 and a smaller "
+          "high-band modulation-spectrum deficit vs natural — the "
+          "reference's notebook-published claim, here as numbers.",
+          "",
+          "| config | metrics |",
+          "|---|---|"]
+    for key in ("vc_in2out_baseline", "vc_in2out_gan", "tts_duration",
+                "tts_acoustic_baseline", "tts_acoustic_gan"):
+        md.append(row(key, results[key]))
+    md += ["",
+           "GV / modulation-spectrum comparison figures: "
+           "`docs/dossier/gv.png`, `docs/dossier/modspec.png` "
+           "(tools/report.py).", ""]
+    with open(args.out_md, "w") as f:
+        f.write("\n".join(md))
+    print(json.dumps(results, indent=2))
+    print("wrote", args.out_json, "and", args.out_md)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ if [ "$RUN_BASELINE" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
         --hparams="$HPARAMS,nepoch=$TOTAL_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/baseline \
+        --log-event-path=$CHECKPOINT_DIR/baseline/log \
         --w_d=0 --mge_w=1.0 \
         $INPUTS_DIR $OUTPUTS_DIR
 fi
@@ -59,6 +60,7 @@ if [ "$RUN_GENERATOR_WARMUP" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
         --hparams="$HPARAMS,nepoch=$GENERATOR_WARMUP_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
+        --log-event-path=$CHECKPOINT_DIR/gan/log \
         --w_d=0 --mge_w=1.0 \
         $INPUTS_DIR $OUTPUTS_DIR
 fi
@@ -69,6 +71,7 @@ if [ "$RUN_DISCRIMINATOR_WARMUP" == 1 ]; then
         --hparams="$HPARAMS,nepoch=$DISCRIMINATOR_WARMUP_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
+        --log-event-path=$CHECKPOINT_DIR/gan/log \
         --discriminator-warmup --w_d=1.0 --restart_epoch=0 \
         $INPUTS_DIR $OUTPUTS_DIR
 fi
@@ -78,6 +81,7 @@ if [ "$RUN_SPOOFING_MODEL" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
         --hparams="$HPARAMS,nepoch=$SPOOFING_TOTAL_EPOCH" \
         --checkpoint-dir=$CHECKPOINT_DIR/spoofing_model \
+        --log-event-path=$CHECKPOINT_DIR/spoofing_model/log \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/baseline $TOTAL_EPOCH Generator) \
         --discriminator-warmup --w_d=1.0 --restart_epoch=0 \
         $INPUTS_DIR $OUTPUTS_DIR
@@ -93,6 +97,7 @@ if [ "$RUN_ADVERSARIAL" == 1 ]; then
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
         --checkpoint-d=$(ckpt $CHECKPOINT_DIR/gan $DISCRIMINATOR_WARMUP_EPOCH Discriminator) \
+        --log-event-path=$CHECKPOINT_DIR/gan/log \
         --reset_optimizers --restart_epoch=$GENERATOR_WARMUP_EPOCH \
         --w_d=1.0 $CHECKPOINT_R \
         $INPUTS_DIR $OUTPUTS_DIR
