@@ -29,6 +29,15 @@ from gantts_tpu.train.optim import exp_decayed_lr, set_learning_rate
 CHECKPOINT_INTERVAL = 10  # reference train.py:66
 
 
+def adv_weight(w_d, e_mge, e_adv):
+    """Dynamic adversarial weight w_d * clip(E(mge)/E(adv), 0, 1e3)
+    (reference train.py:575).  max() guard: a saturated D can make E(adv)
+    EXACTLY zero (-log(1.0) == 0.0 in f32); Python float division raises
+    where the reference's numpy division yields inf, clipped to 1e3 —
+    reproduce the numpy endpoint."""
+    return w_d * float(np.clip(e_mge / max(e_adv, 1e-30), 0, 1e3))
+
+
 class RMatrixCache:
     """unit_variance_mlpg_matrix per bucketed length, device-resident.
 
@@ -96,8 +105,8 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
             acc = []  # device-scalar dicts, reduced once per phase
             phase_t0 = _time.perf_counter()
 
-            adv_w = (w_d * float(np.clip(E_loss_mge / E_loss_adv, 0, 1e3))
-                     if update_g else 0.0)
+            adv_w = adv_weight(w_d, E_loss_mge, E_loss_adv) \
+                if update_g else 0.0
 
             for x, y, lengths in dataset_loaders[phase]:
                 B, T = x.shape[0], x.shape[1]
@@ -132,7 +141,8 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                 E_loss_adv = sums.get("loss_adv", 0.0) / N
                 log("E(mge)", E_loss_mge, epoch)
                 log("E(adv)", E_loss_adv, epoch)
-                log("MGE/ADV loss weight", E_loss_mge / E_loss_adv, epoch)
+                log("MGE/ADV loss weight",
+                    E_loss_mge / max(E_loss_adv, 1e-30), epoch)
 
             # Loss series (train.py:609-620)
             for ty, enabled in [("mse", update_g),

@@ -209,7 +209,11 @@ def test_train_cli_smoke(vc_corpus, tmp_path):
     """Drive the actual CLI (reference train.py:4-23 surface)."""
     ckpt = str(tmp_path / "ck")
     log = str(tmp_path / "log")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # GANTTS_TPU_PLATFORM (config-update based) is the reliable pin;
+    # JAX_PLATFORMS alone is intermittently ignored in subprocesses
+    # (sitecustomize imports jax first — see CLAUDE.md), which leaves the
+    # run on the axon TPU where compile latency blows the timeout.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", GANTTS_TPU_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, join(REPO, "train.py"),
          join(vc_corpus, "X"), join(vc_corpus, "Y"),
@@ -379,3 +383,15 @@ def test_checkpoint_msgpack_roundtrip_not_pickle(tmp_path):
     params3, opt3, _ = load_checkpoint(path)
     np.testing.assert_array_equal(params3["H_0"]["bias"],
                                   params["H_0"]["bias"])
+
+
+def test_adv_weight_zero_adv_loss_is_clipped_not_crash():
+    """A saturated D makes E(adv) exactly 0.0 (-log(1.0) in f32); the
+    dynamic weight must hit the reference's clip endpoint (w_d * 1e3), not
+    raise ZeroDivisionError (found by the quality-dossier curriculum run)."""
+    from gantts_tpu.train.loop import adv_weight
+
+    assert adv_weight(1.0, 0.5, 0.0) == 1000.0
+    assert adv_weight(0.5, 0.5, 0.0) == 500.0
+    assert abs(adv_weight(1.0, 2.0, 4.0) - 0.5) < 1e-12
+    assert adv_weight(1.0, 0.0, 0.0) == 0.0

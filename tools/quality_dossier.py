@@ -120,6 +120,9 @@ def main():
                f"{tts_env['ACOUSTIC_EPOCHS']} epochs",
         "device": "",
     }}
+    # importing gantts_tpu first honors GANTTS_TPU_PLATFORM (plain
+    # JAX_PLATFORMS can be ignored here — sitecustomize imports jax first)
+    import gantts_tpu  # noqa: F401
     import jax
 
     results["workload"]["device"] = str(jax.devices()[0].platform)
