@@ -1,11 +1,18 @@
 #!/usr/bin/env python
 """Benchmark: G+D adversarial training throughput (frames/sec/chip).
 
-Workload = BASELINE.json config #4/#5 shape: tts_acoustic flagship — 6x512
-bidirectional SRU generator (22.9M params), linguistic-conditioned MLP
-discriminator, mgc-stream adversarial loss with mask_nth_mgc_for_adv_loss=2,
-full fused G+D step (G fwd/bwd, D update, G update, device metrics),
-batch 20 x 512 frames (425-dim linguistic in, 187-dim WORLD features out).
+Headline workload = BASELINE.json config #4/#5 shape: tts_acoustic flagship
+— 6x512 bidirectional SRU generator (22.9M params), linguistic-conditioned
+MLP discriminator, mgc-stream adversarial loss with
+mask_nth_mgc_for_adv_loss=2, full fused G+D step (G fwd/bwd, D update,
+G update, device metrics), batch 20 x 512 frames (425-dim linguistic in,
+187-dim WORLD features out).
+
+Breadth (VERDICT round-2 item 6): the same fused step is also measured for
+the flagship at batch 40/80, for the LSTM-family generator (the reference's
+CPU-runnable alternative, hparams.py:111), and for the VC In2OutHighwayNet
+config (BASELINE config #1/#2 shape) — reported under "configs" in the same
+JSON line.
 
 vs_baseline divides by a PyTorch-CPU implementation of the same training
 step (the reference's own stack on this host: the reference publishes no
@@ -15,7 +22,7 @@ reference's LSTM fallback generator at the same size (the reference's SRU
 is CUDA-only and cannot run on CPU at all; LSTMRNN/GRURNN are its
 documented CPU-runnable alternatives for the same job, hparams.py:111).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -32,17 +39,12 @@ sys.path.insert(0, dirname(os.path.abspath(__file__)))
 
 B, T = 20, 512
 LIN_DIM, OUT_DIM = 425, 187
+VC_DIM = 177  # 59 mel-cepstra x 3 windows
 CACHE = join(dirname(os.path.abspath(__file__)), "bench_baseline_cache.json")
 
 
-def bench_jax_tpu(steps=30, warmup=3):
-    import jax
-    import jax.numpy as jnp
-
+def _acoustic_hp(generator=None):
     from gantts_tpu import hparams
-    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
-    from gantts_tpu.train import GanTrainer, StepConfig
-    from gantts_tpu.train.setup import init_models_and_states
 
     hp = hparams.tts_acoustic.copy()
     # Production TPU config: RNN/MLP matmuls in bf16 with f32 accumulation
@@ -53,25 +55,50 @@ def bench_jax_tpu(steps=30, warmup=3):
     hp.generator_params.update(in_dim=LIN_DIM, out_dim=OUT_DIM)
     # disc in_dim: 60 static mgc - 2 masked + 425 linguistic
     hp.discriminator_params.update(in_dim=60 - 2 + LIN_DIM)
+    if generator == "LSTMRNN":
+        # same trunk size as the flagship SRU (and as the torch baseline)
+        hp.generator = "LSTMRNN"
+        hp.generator_params = dict(
+            in_dim=LIN_DIM, out_dim=OUT_DIM, num_hidden=6, hidden_dim=512,
+            bidirectional=True, dropout=0.2)
+    return hp
+
+
+def _vc_hp():
+    from gantts_tpu import hparams
+
+    hp = hparams.vc.copy()
+    hp.compute_dtype = "bfloat16"
+    hp.generator_params.update(in_dim=VC_DIM, out_dim=VC_DIM)
+    return hp
+
+
+def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
+                  windows_n=3):
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.setup import init_models_and_states
 
     model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
     cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
                                   update_d=True, update_g=True)
     trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg,
-                         np.zeros(OUT_DIM, np.float32),
-                         np.ones(OUT_DIM, np.float32))
+                         np.zeros(out_dim, np.float32),
+                         np.ones(out_dim, np.float32))
 
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.rand(B, T, LIN_DIM).astype(np.float32))
-    y = jnp.asarray(rs.rand(B, T, OUT_DIM).astype(np.float32))
+    x = jnp.asarray(rs.rand(batch, T, in_dim).astype(np.float32))
+    y = jnp.asarray(rs.rand(batch, T, out_dim).astype(np.float32))
     lengths = jnp.asarray(
-        np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32))
+        np.r_[rs.randint(T // 2, T, batch - 1), T].astype(np.int32))
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
-    rng = __import__("jax").random.PRNGKey(0)
+    rng = jr.PRNGKey(0)
 
     step = trainer.step_fn(train=True)
-    import jax.random as jr
-
     for i in range(warmup):
         rng, k = jr.split(rng)
         gstate, dstate, out = step(gstate, dstate, None, x, y, lengths, R,
@@ -81,7 +108,7 @@ def bench_jax_tpu(steps=30, warmup=3):
     # take the best of several measurement windows so the recorded number
     # reflects device throughput, not a transient tunnel stall.
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(windows_n):
         t0 = time.perf_counter()
         for i in range(steps):
             rng, k = jr.split(rng)
@@ -190,7 +217,21 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def main():
-    fps = bench_jax_tpu()
+    quick = "--quick" in sys.argv[1:]
+    fps = bench_jax_tpu(_acoustic_hp(), B, LIN_DIM, OUT_DIM)
+    configs = {}
+    if not quick:
+        # batch scaling of the flagship + the other model families; fewer
+        # steps/windows (informational rows, not the headline metric)
+        for bb in (40, 80):
+            configs[f"tts_acoustic_sru_b{bb}"] = round(bench_jax_tpu(
+                _acoustic_hp(), bb, LIN_DIM, OUT_DIM,
+                steps=20, windows_n=2), 1)
+        configs["tts_acoustic_lstm_b20"] = round(bench_jax_tpu(
+            _acoustic_hp("LSTMRNN"), B, LIN_DIM, OUT_DIM,
+            steps=20, windows_n=2), 1)
+        configs["vc_in2out_b20"] = round(bench_jax_tpu(
+            _vc_hp(), B, VC_DIM, VC_DIM, steps=20, windows_n=2), 1)
     if exists(CACHE):
         with open(CACHE) as f:
             baseline = json.load(f)["torch_cpu_frames_per_sec"]
@@ -200,13 +241,16 @@ def main():
             json.dump({"torch_cpu_frames_per_sec": baseline,
                        "workload": f"B={B} T={T} acoustic GAN step"}, f)
     mfu = fps * STEP_MFLOP_PER_FRAME * 1e6 / (V5E_BF16_PEAK_TFLOPS * 1e12)
-    print(json.dumps({
+    out = {
         "metric": "gan_train_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
-    }))
+    }
+    if configs:
+        out["configs"] = configs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
