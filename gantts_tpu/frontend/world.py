@@ -47,7 +47,18 @@ import numpy as np
 DEFAULT_F0_FLOOR = 71.0
 DEFAULT_F0_CEIL = 800.0
 DEFAULT_FRAME_PERIOD = 5.0
-UV_AVG_SEGMENTS = 9    # unvoiced periodogram sub-windows (see cheaptrick)
+# Unvoiced-frame analysis knobs (see cheaptrick).  The C++ twin
+# (cpp/frontend.cpp cheaptrick_frames) hardcodes the defaults, so the
+# dispatch in cheaptrick() falls back to this NumPy oracle whenever they
+# are changed.  Tuning notes (tools/fidelity_decomp.py experiments): the
+# unvoiced round-trip MCD is dominated by the non-idempotent smooth+lifter
+# bias plus the chi^2 periodogram variance of the re-analysis; lowering
+# CHEAPTRICK_UV_F0 to 180 trades ~0.07 dB headline MCD for 90 ms unvoiced
+# analysis spans that would smear real-speech transients, so the WORLD
+# defaults stay.
+UV_AVG_SEGMENTS = 9    # unvoiced periodogram sub-windows
+UV_AVG_SPACING = 1.0   # sub-window center spacing, in units of T0
+CHEAPTRICK_UV_F0 = 500.0  # pseudo-F0 for unvoiced frames
 COHERENCE_LP_HARMONICS = 10  # low-f0 probe band limit (_coherence_gate_py)
 
 
@@ -558,14 +569,18 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
     from gantts_tpu.frontend import native
 
     # the C++ engine's FFT is radix-2 only; non-power-of-two sizes (legal
-    # for the np.fft oracle) must take the NumPy path
-    if native.has_analysis() and _is_pow2(fft_size):
+    # for the np.fft oracle) must take the NumPy path.  The twin also
+    # hardcodes the unvoiced-averaging defaults, so any tuned constants
+    # force the oracle path rather than silently ignoring them.
+    if (native.has_analysis() and _is_pow2(fft_size)
+            and UV_AVG_SEGMENTS == 9 and UV_AVG_SPACING == 1.0
+            and CHEAPTRICK_UV_F0 == 500.0):
         return native.cheaptrick_frames(x, f0, temporal_positions, fs,
                                         q1, f0_floor, fft_size)
     n_bins = fft_size // 2 + 1
     T = len(f0)
     sp = np.empty((T, n_bins))
-    default_f0 = 500.0
+    default_f0 = CHEAPTRICK_UV_F0
 
     for i in range(T):
         voiced = f0[i] > f0_floor / 2
@@ -583,7 +598,7 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
         K = 1 if voiced else UV_AVG_SEGMENTS
         ps = np.zeros(n_bins)
         for j in range(K):
-            off = int(round((j - (K - 1) / 2.0) * T0))
+            off = int(round((j - (K - 1) / 2.0) * T0 * UV_AVG_SPACING))
             idx = np.arange(c - half + off, c + half + 1 + off)
             seg = np.zeros(len(idx))
             ok = (idx >= 0) & (idx < len(x))

@@ -180,9 +180,9 @@ def f0_metrics(f0_est, f0_true, vuv_true, edge_tol=2):
                 gross_error_rate=gross)
 
 
-def mcd(x, y, order=24, fs=None):
-    """Mel-cepstral distortion (dB) between two waveforms, co-analyzed
-    frame-by-frame (c1..c_order)."""
+def frame_mcd(x, y, order=24, fs=None):
+    """Per-frame mel-cepstral distortion (dB) between two waveforms,
+    co-analyzed on x's dio grid (c1..c_order)."""
     from gantts_tpu.frontend import sptk, world
 
     if fs is None:
@@ -196,8 +196,48 @@ def mcd(x, y, order=24, fs=None):
     mcx = sptk.sp2mc(spx, order=order, alpha=alpha)
     mcy = sptk.sp2mc(spy, order=order, alpha=alpha)
     d = mcx[:, 1:] - mcy[:, 1:]
-    return float(10.0 / np.log(10.0) * np.sqrt(2.0)
-                 * np.mean(np.sqrt(np.sum(d ** 2, axis=1))))
+    return 10.0 / np.log(10.0) * np.sqrt(2.0 * np.sum(d ** 2, axis=1))
+
+
+def mcd(x, y, order=24, fs=None):
+    """Mean mel-cepstral distortion (dB), co-analyzed frame-by-frame."""
+    return float(np.mean(frame_mcd(x, y, order=order, fs=fs)))
+
+
+def frame_classes(vuv_true, n, edge=3):
+    """Frame masks: voiced-steady / V-UV boundary (+-edge frames) /
+    unvoiced-steady, from the known voicing pattern."""
+    vuv = vuv_true[:n]
+    edges = np.where(np.diff(vuv.astype(int)) != 0)[0]
+    boundary = np.zeros(n, bool)
+    for e in edges:
+        boundary[max(0, e - edge + 1): e + edge + 1] = True
+    return {"voiced_steady": vuv & ~boundary,
+            "vuv_boundary": boundary,
+            "unvoiced_steady": ~vuv & ~boundary}
+
+
+def unvoiced_coanalysis_floor(n_seeds=3):
+    """Stochastic floor of the unvoiced MCD: co-analysis of two INDEPENDENT
+    realizations of the same noise-through-formants process.  No vocoder in
+    the loop — this is the chi^2 periodogram-variance limit any
+    analysis/synthesis round trip of noise is compared against (the round
+    trip pays one realization's estimation error; two independent
+    realizations pay sqrt(2) of it)."""
+    import scipy.signal
+
+    b, a = formant_filter(FS)
+    n = int(1.2 * FS)
+    floors = []
+    for seed in range(n_seeds):
+        r1 = np.random.RandomState(seed)
+        r2 = np.random.RandomState(1000 + seed)
+        x1 = scipy.signal.lfilter(b, a, 0.25 * r1.randn(n))
+        x2 = scipy.signal.lfilter(b, a, 0.25 * r2.randn(n))
+        x1 *= 0.6 / np.abs(x1).max()
+        x2 *= 0.6 / np.abs(x2).max()
+        floors.append(float(frame_mcd(x1, x2)[5:-5].mean()))
+    return float(np.mean(floors))
 
 
 # Stress conditions for the per-condition fidelity rows (VERDICT round-2
@@ -252,6 +292,8 @@ def main():
 
     agg = {"dio": [], "harvest": []}
     mcds = []
+    mcd_by_class = {"voiced_steady": [], "vuv_boundary": [],
+                    "unvoiced_steady": []}
     env_errs = []
     ap_voiced_lo, ap_voiced_all, ap_unvoiced = [], [], []
     band_edges = world._d4c_band_edges(FS)
@@ -272,7 +314,11 @@ def main():
         sp = world.cheaptrick(x, f0_h, th, FS)
         ap = world.d4c(x, f0_h, th, FS)
         y = world.synthesize(f0_h, sp, ap, FS)
-        mcds.append(mcd(x, y))
+        fm = frame_mcd(x, y)
+        mcds.append(float(fm.mean()))
+        for cname, sel in frame_classes(vuv_true, len(fm)).items():
+            if sel.any():
+                mcd_by_class[cname].append(float(fm[sel].mean()))
 
         # aperiodicity sanity: harmonically-dominated voiced low band must
         # read (mostly) periodic, unvoiced frames fully aperiodic
@@ -339,6 +385,14 @@ def main():
         "harvest": {k: avg(agg["harvest"], k) for k in
                     ("f0_rmse_hz", "vuv_error", "vuv_error_core", "gross_error_rate")},
         "copy_synthesis_mcd_db": round(float(np.mean(mcds)), 4),
+        # error decomposition (tools/fidelity_decomp.py): voiced-steady
+        # frames are near-transparent; unvoiced frames are bounded below by
+        # the chi^2 periodogram-variance floor reported alongside
+        "copy_synthesis_mcd_by_class": {
+            k: round(float(np.mean(v)), 4)
+            for k, v in mcd_by_class.items() if v},
+        "unvoiced_coanalysis_floor_db": round(
+            unvoiced_coanalysis_floor(), 4),
         "envelope_lsd_db": round(float(np.mean(env_errs)), 4),
         "d4c_voiced_lowband_ap": round(float(np.mean(ap_voiced_lo)), 4),
         "d4c_voiced_allband_ap": round(float(np.mean(ap_voiced_all)), 4),
