@@ -6,7 +6,13 @@ Times each component of the fused step at the bench workload shape
 bottleneck: full step, G forward, G fwd+bwd, SRU stack alone, Pallas scan
 alone, MLPG matmul, D forward, optimizer updates.
 
-usage: python tools/profile_step.py [--trace-dir DIR]
+Also measures a PURE-MATMUL lower bound for the SRU trunk: 12 independent
+bf16 matmuls with the trunk's exact projection FLOPs (6 layers x 2
+directions x (B*T,1024)@(1024,2048) = ~516 GFLOP fwd at B=20 T=512) and
+3x that for fwd+bwd — the time the trunk could not possibly beat on the
+MXU.  --batch sweeps the shape (README batch-scaling evidence).
+
+usage: python tools/profile_step.py [--trace-dir DIR] [--batch N]
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ import numpy as np
 
 sys.path.insert(0, dirname(dirname(os.path.abspath(__file__))))
 
-B, T = 20, 512
+T = 512
 LIN_DIM, OUT_DIM = 425, 187
 
 
@@ -43,7 +49,9 @@ def main():
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--compute-dtype", default="float32")
     p.add_argument("--mlpg", default="dense", choices=["dense", "stencil"])
+    p.add_argument("--batch", type=int, default=20)
     args = p.parse_args()
+    B = args.batch
 
     import jax
     import jax.numpy as jnp
@@ -156,6 +164,22 @@ def main():
 
     sbwd = jax.jit(jax.grad(s_loss))
     rows.append(("SRU trunk fwd+bwd", timed(sbwd, sru_vars, x, lengths)))
+
+    # pure-matmul lower bound for the trunk: 12 independent matmuls with
+    # the trunk's exact projection FLOPs, in the trunk's compute dtype
+    H = hp.generator_params["hidden_dim"]
+    mm_dtype = jnp.bfloat16 if hp.compute_dtype == "bfloat16" \
+        else jnp.float32
+    xs_mm = jnp.asarray(rs.rand(B * T, 2 * H), mm_dtype)
+    ws_mm = jnp.asarray(rs.rand(12, 2 * H, 4 * H) * 0.01, mm_dtype)
+
+    def mm_bound(xx, ww):
+        return sum(jnp.sum(xx @ ww[i]) for i in range(12))
+
+    mmf = jax.jit(mm_bound)
+    fwd_ms = timed(mmf, xs_mm, ws_mm)
+    rows.append(("trunk matmul bound fwd", fwd_ms))
+    rows.append(("trunk matmul bound f+b (3x)", 3.0 * fwd_ms))
 
     # optimizer update alone (Adagrad over 22.9M G params)
     g_grads = jax.tree_util.tree_map(jnp.ones_like, gs.params)
