@@ -496,8 +496,11 @@ void coherence_gate(const double* x, int64_t n, const double* f0,
     const int64_t k_nat = (int64_t)std::nearbyint(horizon_s * fs / T0);
     const int64_t k = k_nat < 2 ? 2 : k_nat;
     const bool clamped = k_nat < 2;
-    const int64_t half = (int64_t)((double)k * T0 +
-                                   (clamped ? 0.75 : 2.0) * T0);
+    // NB: ((k + c) * T0), NOT (k*T0 + c*T0) — the oracle computes the sum
+    // first and the two forms differ by 1 ulp, which flips the int()
+    // truncation when (k + c) * T0 lands on an integer boundary.
+    const int64_t half =
+        (int64_t)(((double)k + (clamped ? 0.75 : 2.0)) * T0);
     const int64_t c = (int64_t)(tpos[i] * fs);  // Python int() truncation
     int64_t len = centered_segment(x, n, c - half, c + half, seg);
     if (clamped && len > 0) {

@@ -196,8 +196,11 @@ def _coherence_gate_py(x, f0, temporal_positions, fs, horizon_s=0.012,
     (a resonator's decay at lag k*T0 does not depend on the support
     length).  Measured: low-f0 core V/UV 0.31 -> 0.05, main corpus
     unchanged (vocoder_fidelity.json conditions)."""
+    import scipy.signal
+
     x = np.asarray(x, dtype=np.float64)
     out = f0.copy()
+    fir_cache = {}  # (cutoff, taps) -> FIR; f repeats across frames
     for i, (f, tc) in enumerate(zip(f0, temporal_positions)):
         if f <= 0:
             continue
@@ -213,11 +216,12 @@ def _coherence_gate_py(x, f0, temporal_positions, fs, horizon_s=0.012,
         if clamped:
             cutoff = COHERENCE_LP_HARMONICS * f
             taps = int(fs / cutoff * 4) | 1
-            nn = np.arange(taps) - taps // 2
-            h = np.sinc(2.0 * cutoff / fs * nn) * np.blackman(taps)
-            h /= h.sum()
-            import scipy.signal
-
+            h = fir_cache.get((cutoff, taps))
+            if h is None:
+                nn = np.arange(taps) - taps // 2
+                h = np.sinc(2.0 * cutoff / fs * nn) * np.blackman(taps)
+                h /= h.sum()
+                fir_cache[cutoff, taps] = h
             seg = scipy.signal.fftconvolve(seg, h, mode="same")
         lags = np.arange(max(2, int(k * T0 * (1 - tol))),
                          min(len(seg) - 2, int(k * T0 * (1 + tol)) + 1))
@@ -917,7 +921,11 @@ def synthesize(f0, spectrogram, aperiodicity, fs,
 
     from gantts_tpu.frontend import native
 
-    if native.has_world_synth_events() and _is_pow2(fft_size):
+    # The C++ twin hardcodes kPrePad=64; if PULSE_PRE_PAD is ever tuned,
+    # fall back to the oracle rather than silently rendering a different
+    # pulse placement (same guard pattern as the cheaptrick constants).
+    if (native.has_world_synth_events() and _is_pow2(fft_size)
+            and PULSE_PRE_PAD == 64):
         return native.world_synth_events(
             sp, ap, times, voiced, f_at, noffs, nlens, noise, hop, fs, N)
 

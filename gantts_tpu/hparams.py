@@ -166,9 +166,9 @@ _TPU_ADDITIONS = dict(
 # Host loader (reference hparams.py:80-82).  num_workers > 0 enables the
 # prefetching thread pool in data.BatchIterator; cache_size caps the
 # normalized-item memo.  torch's pin_memory has no JAX analog (device_put
-# stages its own transfer buffers) and is intentionally not reproduced —
-# PARITY.md "Consciously changed".
-_LOADER_DEFAULTS = dict(num_workers=1, cache_size=1200)
+# stages its own transfer buffers) — kept as an accepted no-op so reference
+# --hparams strings still parse (PARITY.md "Consciously changed").
+_LOADER_DEFAULTS = dict(num_workers=1, cache_size=1200, pin_memory=False)
 
 
 def _bundle(**kwargs):

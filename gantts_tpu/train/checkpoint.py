@@ -5,11 +5,14 @@ processes purely through files named
 ``checkpoint_epoch{N}_{Generator|Discriminator}.pth`` containing
 {state_dict, optimizer, global_epoch} (reference train.py:162-171, 651-658).
 We keep the exact names and keys so curriculum drivers port unchanged, but
-the payload is a flax msgpack blob, not a pickle: loading a checkpoint from
-an untrusted path must never execute code, and msgpack state-dicts survive
-jax/flax class renames that break pickled pytrees (the ``Dense_0`` migration
-shim below is the fossil of one such rename).  Pickle files written by
-earlier revisions are still read via a legacy fallback.
+the payload is a flax msgpack blob, not a pickle: the current format never
+executes code on load, and msgpack state-dicts survive jax/flax class
+renames that break pickled pytrees (the ``Dense_0`` migration shim below is
+the fossil of one such rename).  Pickle files written by earlier revisions
+are still read via a legacy fallback — note that path IS code-executing
+(pickle semantics), so it warns loudly and can be disabled entirely with
+``GANTTS_TPU_ALLOW_PICKLE_CKPT=0`` when loading files from untrusted
+sources.
 """
 
 from __future__ import annotations
@@ -96,6 +99,19 @@ def load_checkpoint(path, opt_template=None):
     with open(path, "rb") as f:
         blob = f.read()
     if _is_legacy_pickle(blob):
+        # Unpickling executes code embedded in the file; only safe for
+        # checkpoints this codebase wrote before the msgpack format.
+        if os.environ.get("GANTTS_TPU_ALLOW_PICKLE_CKPT", "1") == "0":
+            raise ValueError(
+                f"{path} is a legacy pickle checkpoint and "
+                "GANTTS_TPU_ALLOW_PICKLE_CKPT=0 forbids loading it "
+                "(unpickling untrusted data executes arbitrary code)")
+        import warnings
+
+        warnings.warn(
+            f"loading legacy pickle checkpoint {path}; pickle executes "
+            "code on load — set GANTTS_TPU_ALLOW_PICKLE_CKPT=0 to refuse "
+            "these files", stacklevel=2)
         payload = pickle.loads(blob)
         opt = payload.get("optimizer")
     else:

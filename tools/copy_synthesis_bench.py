@@ -132,24 +132,28 @@ def make_utterance(seed, dur_s=1.2, base_f0=None, return_components=False,
 
 
 def true_band_aperiodicity(x_harm, x_noise, f0_true, band_edges,
-                           win_s=0.015):
+                           win_s=0.015, fs=None, hop_s=None):
     """Ground-truth coarse aperiodicity sqrt(P_noise / P_total) per frame
-    and band, from the separately known harmonic/noise components."""
+    and band, from the separately known harmonic/noise components.  fs and
+    hop_s default to the module constants but MUST be passed for any
+    condition generated at a non-default rate (e.g. fs22050)."""
     import scipy.signal
 
+    fs = FS if fs is None else fs
+    hop_s = HOP_S if hop_s is None else hop_s
     T = len(f0_true)
     n_bands = len(band_edges) - 1
     out = np.ones((T, n_bands))
-    half = int(win_s * FS / 2)
+    half = int(win_s * fs / 2)
     for b in range(n_bands):
         lo, hi = band_edges[b], band_edges[b + 1]
         sos = scipy.signal.butter(
-            4, [max(lo, 1.0), min(hi, FS / 2 - 1.0)], btype="band",
-            fs=FS, output="sos")
+            4, [max(lo, 1.0), min(hi, fs / 2 - 1.0)], btype="band",
+            fs=fs, output="sos")
         hb = scipy.signal.sosfiltfilt(sos, x_harm)
         nb = scipy.signal.sosfiltfilt(sos, x_noise)
         for i in range(T):
-            c = int(i * HOP_S * FS)
+            c = int(i * hop_s * fs)
             s0, s1 = max(0, c - half), min(len(hb), c + half)
             ph = float(np.mean(hb[s0:s1] ** 2))
             pn = float(np.mean(nb[s0:s1] ** 2))

@@ -84,6 +84,9 @@ def main():
     p.add_argument("--root", default="/tmp/gantts_dossier")
     p.add_argument("--quick", action="store_true",
                    help="tiny epochs/corpus (smoke only, numbers meaningless)")
+    p.add_argument("--only", choices=["vc", "tts", "all"], default="all",
+                   help="rerun one half; the other half's rows are kept "
+                        "from the existing --out-json")
     p.add_argument("--out-json", default=join(REPO, "results.json"))
     p.add_argument("--out-md", default=join(REPO, "RESULTS.md"))
     args = p.parse_args()
@@ -99,27 +102,61 @@ def main():
         tts_env = dict(DURATION_EPOCHS="3", ACOUSTIC_EPOCHS="3",
                        G_WARMUP="1", D_WARMUP="1")
     else:
-        n_vc, n_tts = 40, 40
+        n_vc, n_tts = 40, 100
         vc_env = dict(MAX_FILES=str(n_vc), TOTAL_EPOCH="40", G_WARMUP="10",
                       D_WARMUP="5")
+        # batch_size=8 (vs the production 20): the synthetic corpus is small
+        # enough that batch 20 gives ~2 optimizer steps/epoch, and Adagrad's
+        # sign-like first steps (update == +-lr/coord while the accumulator
+        # is empty — torch-identical, gantts_tpu/train/optim.py) then need
+        # more steps than the curriculum has to re-converge the deep SRU
+        # stack.  ~12 steps/epoch matches the reference demo's step budget
+        # (slt_arctic: 1132 utts / batch 20 ~= 56 steps/epoch) at dossier
+        # scale; measured: batch 20 leaves train MCD ~5.4 dB and the GAN
+        # stage diverges, batch 8/corpus 100 converges cleanly.
         tts_env = dict(DURATION_EPOCHS="30", ACOUSTIC_EPOCHS="30",
-                       G_WARMUP="8", D_WARMUP="4")
+                       G_WARMUP="8", D_WARMUP="4",
+                       HPARAMS_EXTRA="batch_size=8")
 
-    vc_corpus = join(root, "arctic")
-    tts_corpus = join(root, "slt")
+    # corpus dirs are size-suffixed so changing n regenerates; stale
+    # checkpoint/log/generated dirs from a previous run are cleared below
+    # (ScalarWriter appends, and final() must only see this run's epochs).
+    vc_corpus = join(root, f"arctic{n_vc}")
+    tts_corpus = join(root, f"slt{n_tts}")
     if not os.path.isdir(vc_corpus):
         make_arctic_vc_corpus(vc_corpus, num=n_vc)
     if not os.path.isdir(tts_corpus):
         make_tts_corpus(tts_corpus, num=n_tts)
+    import shutil
+    stale = []
+    if args.only in ("vc", "all"):
+        stale += [join(root, "checkpoints", "vc_dossier"),
+                  join(root, "generated", "vc_dossier_baseline"),
+                  join(root, "generated", "vc_dossier_gan"),
+                  join(root, "data", "cmu_arctic_vc_dossier")]
+    if args.only in ("tts", "all"):
+        stale += [join(root, "checkpoints", "tts_dossier"),
+                  join(root, "generated", "tts_dossier_baseline"),
+                  join(root, "generated", "tts_dossier_gan"),
+                  join(root, "data", "slt_arctic_tts_dossier")]
+    for d in stale:
+        shutil.rmtree(d, ignore_errors=True)
 
-    results = {"workload": {
-        "vc": f"{n_vc} synthetic parallel utterances (tests/fixtures.py "
-              f"make_arctic_vc_corpus), {vc_env['TOTAL_EPOCH']} epochs",
-        "tts": f"{n_tts} synthetic labelled utterances (make_tts_corpus), "
-               f"duration {tts_env['DURATION_EPOCHS']} / acoustic "
-               f"{tts_env['ACOUSTIC_EPOCHS']} epochs",
-        "device": "",
-    }}
+    results = {"workload": {}}
+    if args.only != "all" and os.path.exists(args.out_json):
+        with open(args.out_json) as f:
+            results = json.load(f)  # keep the half we are not rerunning
+    run_vc = args.only in ("vc", "all")
+    run_tts = args.only in ("tts", "all")
+    if run_vc:
+        results["workload"]["vc"] = (
+            f"{n_vc} synthetic parallel utterances (tests/fixtures.py "
+            f"make_arctic_vc_corpus), {vc_env['TOTAL_EPOCH']} epochs")
+    if run_tts:
+        results["workload"]["tts"] = (
+            f"{n_tts} synthetic labelled utterances (make_tts_corpus), "
+            f"duration {tts_env['DURATION_EPOCHS']} / acoustic "
+            f"{tts_env['ACOUSTIC_EPOCHS']} epochs, batch_size=8")
     # importing gantts_tpu first honors GANTTS_TPU_PLATFORM (plain
     # JAX_PLATFORMS can be ignored here — sitecustomize imports jax first)
     import gantts_tpu  # noqa: F401
@@ -128,80 +165,86 @@ def main():
     results["workload"]["device"] = str(jax.devices()[0].platform)
 
     # ---- VC: configs #1 (baseline) + #2 (GAN) ---------------------------
-    dt = run(["bash", join(REPO, "vc_demo.sh"), "dossier", vc_corpus],
-             cwd=root, env_extra=vc_env)
-    total = vc_env["TOTAL_EPOCH"]
-    vc_ck = join(root, "checkpoints", "vc_dossier")
-    results["vc_in2out_baseline"] = {
-        "train_mcd_db": final(join(vc_ck, "baseline/log/scalars.jsonl"),
-                              "train mcd metric"),
-        "test_mcd_db": final(join(vc_ck, "baseline/log/scalars.jsonl"),
-                             "test mcd metric"),
-        **analysis_summary(join(root, "generated",
-                                "vc_dossier_baseline", "analysis.json")),
-    }
-    results["vc_in2out_gan"] = {
-        "train_mcd_db": final(join(vc_ck, "gan/log/scalars.jsonl"),
-                              "train mcd metric"),
-        "test_mcd_db": final(join(vc_ck, "gan/log/scalars.jsonl"),
-                             "test mcd metric"),
-        **analysis_summary(join(root, "generated",
-                                "vc_dossier_gan", "analysis.json")),
-    }
-    results["vc_in2out_gan"]["wall_clock_s_full_demo"] = round(dt, 1)
+    if run_vc:
+        dt = run(["bash", join(REPO, "vc_demo.sh"), "dossier", vc_corpus],
+                 cwd=root, env_extra=vc_env)
+        vc_ck = join(root, "checkpoints", "vc_dossier")
+        results["vc_in2out_baseline"] = {
+            "train_mcd_db": final(join(vc_ck, "baseline/log/scalars.jsonl"),
+                                  "train mcd metric"),
+            "test_mcd_db": final(join(vc_ck, "baseline/log/scalars.jsonl"),
+                                 "test mcd metric"),
+            **analysis_summary(join(root, "generated",
+                                    "vc_dossier_baseline", "analysis.json")),
+        }
+        results["vc_in2out_gan"] = {
+            "train_mcd_db": final(join(vc_ck, "gan/log/scalars.jsonl"),
+                                  "train mcd metric"),
+            "test_mcd_db": final(join(vc_ck, "gan/log/scalars.jsonl"),
+                                 "test mcd metric"),
+            **analysis_summary(join(root, "generated",
+                                    "vc_dossier_gan", "analysis.json")),
+        }
+        results["vc_in2out_gan"]["wall_clock_s_full_demo"] = round(dt, 1)
 
     # ---- TTS: configs #3 (duration), #4 (baseline ac), #5 (GAN ac) ------
-    dt = run(["bash", join(REPO, "tts_demo.sh"), "dossier", tts_corpus],
-             cwd=root, env_extra=tts_env)
-    tts_ck = join(root, "checkpoints", "tts_dossier")
-    results["tts_duration"] = {
-        "train_dur_rmse_frames": final(
-            join(tts_ck, "duration/baseline/log/scalars.jsonl"),
-            "train dur_rmse metric"),
-        "test_dur_rmse_frames": final(
-            join(tts_ck, "duration/baseline/log/scalars.jsonl"),
-            "test dur_rmse metric"),
-    }
-    for kind, key in (("baseline", "tts_acoustic_baseline"),
-                      ("gan", "tts_acoustic_gan")):
-        log_p = join(tts_ck, f"acoustic/{kind}/log/scalars.jsonl")
-        results[key] = {
-            "train_mcd_db": final(log_p, "train mcd metric"),
-            "test_mcd_db": final(log_p, "test mcd metric"),
-            "test_bap_mcd_db": final(log_p, "test bap_mcd metric"),
-            "test_f0_rmse": final(log_p, "test f0_rmse metric"),
-            "test_vuv_err": final(log_p, "test vuv_err metric"),
-            **analysis_summary(join(root, "generated",
-                                    f"tts_dossier_{kind}", "analysis.json")),
+    if run_tts:
+        dt = run(["bash", join(REPO, "tts_demo.sh"), "dossier", tts_corpus],
+                 cwd=root, env_extra=tts_env)
+        tts_ck = join(root, "checkpoints", "tts_dossier")
+        results["tts_duration"] = {
+            "train_dur_rmse_frames": final(
+                join(tts_ck, "duration/baseline/log/scalars.jsonl"),
+                "train dur_rmse metric"),
+            "test_dur_rmse_frames": final(
+                join(tts_ck, "duration/baseline/log/scalars.jsonl"),
+                "test dur_rmse metric"),
         }
-    results["tts_acoustic_gan"]["wall_clock_s_full_demo"] = round(dt, 1)
+        for kind, key in (("baseline", "tts_acoustic_baseline"),
+                          ("gan", "tts_acoustic_gan")):
+            log_p = join(tts_ck, f"acoustic/{kind}/log/scalars.jsonl")
+            results[key] = {
+                "train_mcd_db": final(log_p, "train mcd metric"),
+                "test_mcd_db": final(log_p, "test mcd metric"),
+                "test_bap_mcd_db": final(log_p, "test bap_mcd metric"),
+                "test_f0_rmse": final(log_p, "test f0_rmse metric"),
+                "test_vuv_err": final(log_p, "test vuv_err metric"),
+                **analysis_summary(join(root, "generated",
+                                        f"tts_dossier_{kind}",
+                                        "analysis.json")),
+            }
+        results["tts_acoustic_gan"]["wall_clock_s_full_demo"] = round(dt, 1)
 
     with open(args.out_json, "w") as f:
         json.dump(results, f, indent=2)
         f.write("\n")
 
     # ---- figures + markdown ---------------------------------------------
-    figs = join(dirname(args.out_md), "docs", "dossier")
-    try:
-        subprocess.run(
-            [sys.executable, join(REPO, "tools", "report.py"),
-             join(root, "generated", "tts_dossier_baseline",
-                  "analysis.json"),
-             join(root, "generated", "tts_dossier_gan", "analysis.json"),
-             "--labels", "baseline,gan", "--out", figs],
-            check=True, capture_output=True, text=True)
-    except subprocess.CalledProcessError as e:
-        print("figure rendering failed:", e.stderr, file=sys.stderr)
+    # (a fresh --only run has no rows for the other half: render what we
+    # have, so the md never crashes after the multi-hour curriculum)
+    if run_tts:
+        figs = join(dirname(args.out_md), "docs", "dossier")
+        try:
+            subprocess.run(
+                [sys.executable, join(REPO, "tools", "report.py"),
+                 join(root, "generated", "tts_dossier_baseline",
+                      "analysis.json"),
+                 join(root, "generated", "tts_dossier_gan", "analysis.json"),
+                 "--labels", "baseline,gan", "--out", figs],
+                check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            print("figure rendering failed:", e.stderr, file=sys.stderr)
 
     def row(name, d):
         cells = " | ".join(f"{k} {v}" for k, v in d.items())
         return f"| {name} | {cells} |"
 
+    corpora = "; ".join(results["workload"][k] for k in ("vc", "tts")
+                        if k in results["workload"])
     md = ["# RESULTS — quality dossier (demo-scale curricula)",
           "",
           f"Generated by `python tools/quality_dossier.py` on "
-          f"`{results['workload']['device']}`; corpora: "
-          f"{results['workload']['vc']}; {results['workload']['tts']}.",
+          f"`{results['workload']['device']}`; corpora: {corpora}.",
           "",
           "Regression-gated by `tests/test_results_dossier.py`. "
           "The adversarial configs must beat (or match) MGE-only on the "
@@ -213,7 +256,8 @@ def main():
           "|---|---|"]
     for key in ("vc_in2out_baseline", "vc_in2out_gan", "tts_duration",
                 "tts_acoustic_baseline", "tts_acoustic_gan"):
-        md.append(row(key, results[key]))
+        if key in results:
+            md.append(row(key, results[key]))
     md += ["",
            "GV / modulation-spectrum comparison figures: "
            "`docs/dossier/gv.png`, `docs/dossier/modspec.png` "
