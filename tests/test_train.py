@@ -36,6 +36,19 @@ def acoustic_corpus(tmp_path_factory):
     return d
 
 
+def test_reference_hparams_string_parses():
+    """CLI-surface parity: a reference-style --hparams string, including
+    the torch-only pin_memory knob (accepted no-op), must parse."""
+    from gantts_tpu import hparams
+
+    hp = hparams.vc.copy()
+    hp.parse("batch_size=16,num_workers=2,pin_memory=False,cache_size=800")
+    assert hp.batch_size == 16 and hp.num_workers == 2
+    assert hp.pin_memory is False and hp.cache_size == 800
+    with pytest.raises(ValueError):
+        hp.parse("not_a_real_knob=1")
+
+
 def _small_vc_hp():
     from gantts_tpu import hparams
 
