@@ -50,6 +50,9 @@ def main():
     p.add_argument("--compute-dtype", default="float32")
     p.add_argument("--mlpg", default="dense", choices=["dense", "stencil"])
     p.add_argument("--batch", type=int, default=20)
+    p.add_argument("--layer-ablation", action="store_true",
+                   help="decompose one biSRU layer: projection matmul vs "
+                        "fused kernel vs concat (fwd and fwd+bwd)")
     args = p.parse_args()
     B = args.batch
 
@@ -180,6 +183,51 @@ def main():
     fwd_ms = timed(mmf, xs_mm, ws_mm)
     rows.append(("trunk matmul bound fwd", fwd_ms))
     rows.append(("trunk matmul bound f+b (3x)", 3.0 * fwd_ms))
+
+    if args.layer_ablation:
+        # one biSRU layer decomposed: projection matmul / fused kernel /
+        # concat, fwd and fwd+bwd, in time-major layout.  The residual of
+        # (layer total) - (parts) is XLA glue: transposes, bias concat,
+        # dtype casts, and the concat's backward slices.
+        from gantts_tpu import kernels
+        from gantts_tpu.models.sru import SRULayer
+
+        xe = jnp.swapaxes(x[..., :2 * H], 1, 0)  # (T, B, 2H) time-major
+        if mm_dtype == jnp.bfloat16:
+            xe = xe.astype(mm_dtype)
+        layer = SRULayer(H, hp.generator_params["use_relu"],
+                         hp.compute_dtype)
+        lv = layer.init(jr.PRNGKey(1), xe.astype(jnp.float32), lengths)
+        one_f = jax.jit(lambda v, xx, ll: layer.apply(
+            v, xx.astype(jnp.float32), ll))
+        rows.append(("1 SRULayer fwd", timed(one_f, lv, xe, lengths)))
+        one_b = jax.jit(jax.grad(lambda v, xx, ll: jnp.sum(
+            layer.apply(v, xx.astype(jnp.float32), ll)
+            .astype(jnp.float32) ** 2)))
+        rows.append(("1 SRULayer fwd+bwd", timed(one_b, lv, xe, lengths)))
+
+        w1 = jnp.asarray(rs.rand(2 * H, 4 * H) * 0.01, mm_dtype)
+        proj = jax.jit(lambda a, w: a.reshape(-1, 2 * H) @ w)
+        rows.append(("1 layer proj matmul fwd", timed(proj, xe, w1)))
+
+        u1 = jnp.asarray(rs.rand(T, B, 4 * H), mm_dtype)
+        bias4 = jnp.zeros(4 * H, jnp.float32)
+        kern_f = jax.jit(lambda uu, ll, bb: kernels.fused_sru_layer(
+            uu, ll, bias4=bb, reverse=False,
+            use_relu=hp.generator_params["use_relu"]))
+        rows.append(("1 fused kernel fwd", timed(kern_f, u1, lengths,
+                                                 bias4)))
+        kern_b = jax.jit(jax.grad(
+            lambda uu, ll, bb: jnp.sum(kernels.fused_sru_layer(
+                uu, ll, bias4=bb, reverse=False,
+                use_relu=hp.generator_params["use_relu"])
+                .astype(jnp.float32) ** 2)))
+        rows.append(("1 fused kernel fwd+bwd", timed(kern_b, u1, lengths,
+                                                     bias4)))
+
+        h2 = jnp.asarray(rs.rand(T, B, H), mm_dtype)
+        cat = jax.jit(lambda a, b: jnp.concatenate([a, b], axis=-1) * 1.0)
+        rows.append(("1 layer fwd/bwd concat", timed(cat, h2, h2)))
 
     # optimizer update alone (Adagrad over 22.9M G params)
     g_grads = jax.tree_util.tree_map(jnp.ones_like, gs.params)
