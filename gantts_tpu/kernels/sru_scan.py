@@ -197,16 +197,22 @@ def linear_recurrence_pallas(f, b):
 
 
 def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
-                      u_ref, b_ref, len_ref, h_ref, c_ref, cp_ref,
+                      u_ref, b_ref, len_ref, h_ref, c_ref, cb_ref,
                       carry_ref):
     # I/O may be bf16 (u, h follow the compute dtype); all math runs f32 in
-    # registers, and the recurrence state (c, cp, carry) is always f32.
+    # registers, and the recurrence state (c, carry) is always f32.
+    # The pre-update state c_{prev} is NOT materialized per timestep: the
+    # backward kernel reconstructs it from the c block (shift by one in
+    # traversal order) plus ``cb`` — the (n_chunks, B, H) carry entering
+    # each chunk, written once per grid step.  Dropping the full cp array
+    # saves a (T, B, H) f32 write forward and most of its read backward.
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
+    cb_ref[0] = carry_ref[...]  # carry entering this chunk (f32)
     lv = len_ref[...]  # (B, H) float: per-row valid length
     H = carry_ref.shape[-1]
     block = (n_chunks - 1 - t) if rev else t
@@ -222,7 +228,6 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
         f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
         fm = f * m + (1.0 - m)
         bm = (1.0 - f) * x_t * m
-        cp_ref[j] = c
         c = fm * c + bm
         c_ref[j] = c
         r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
@@ -235,10 +240,14 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
 
 
 def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
-                      u_ref, b_ref, len_ref, c_ref, cp_ref, gh_ref, du_ref,
+                      u_ref, b_ref, len_ref, c_ref, cb_ref, gh_ref, du_ref,
                       db_ref, ghat_ref, fm_ref, db_acc):
     # Traverses the OPPOSITE direction of the forward pass; `rev` here is
     # the traversal's own reversal flag (i.e. rev == not layer.reverse).
+    # The forward's pre-update state cp is reconstructed in-block: in the
+    # forward traversal order, cp[j] is the previous c within the chunk,
+    # and at the chunk's first forward-traversal step it is cb[block]
+    # (the carry the forward kernel recorded on chunk entry).
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -253,6 +262,7 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
     f32 = jnp.float32
     bf = b_ref[0, H:2 * H].astype(f32)
     br = b_ref[0, 2 * H:3 * H].astype(f32)
+    cb0 = cb_ref[0]
 
     def body(i, carry):
         ghat, fm_next = carry
@@ -264,7 +274,14 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
         r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
         x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
         c = c_ref[j]
-        cp = cp_ref[j]
+        if rev:
+            # layer runs forward in time (bwd traversal is reversed):
+            # cp[j] = c[j-1], except j == 0 -> chunk-entry carry
+            cp = jnp.where(j == 0, cb0, c_ref[jnp.maximum(j - 1, 0)])
+        else:
+            # layer runs reversed: cp[j] = c[j+1], except j == chunk-1
+            cp = jnp.where(j == chunk - 1, cb0,
+                           c_ref[jnp.minimum(j + 1, chunk - 1)])
         if use_relu:
             g = jnp.maximum(c, 0.0)
             gp = (c > 0.0).astype(f32)
@@ -307,60 +324,73 @@ def _fused_specs(T, B, H, chunk, rev):
                             memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((8, 4 * H), lambda t: (0, 0),
                           memory_space=pltpu.VMEM)
-    return u_spec, h_spec, len_spec, b_spec, n_chunks
+    # per-chunk boundary carries, stored by LAYER-TIME block index
+    cb_spec = pl.BlockSpec(
+        (1, B, H), (lambda t: ((n_chunks - 1 - t) if rev else t, 0, 0)),
+        memory_space=pltpu.VMEM)
+    return u_spec, h_spec, len_spec, b_spec, cb_spec, n_chunks
+
+
+def _fused_per_h(u_dtype):
+    """Per-timestep VMEM bytes per H lane for the fused-layer kernels.
+
+    The FWD and BWD kernels must agree on the chunk (the per-chunk
+    boundary-carry array ``cb`` is laid out at the forward's chunking), so
+    both size against the larger (backward) footprint: u (4 lanes) + c
+    (f32) + gh + du (4 lanes), all non-f32 lanes at the u itemsize.  bf16
+    I/O roughly doubles the feasible chunk (fewer serial grid steps).
+    """
+    su = jnp.dtype(u_dtype).itemsize
+    return 9 * su + 4
 
 
 def _fused_chunk(B, H, per_h_bytes):
-    """Chunk for the fused-layer kernels via the shared ``fit_chunk`` budget.
-
-    ``per_h_bytes``: forward holds u (4 lanes of the u itemsize) + h (u
-    itemsize) + c + cp (f32) per timestep; backward adds gh and the 4-lane
-    du.  bf16 I/O doubles the feasible chunk (fewer serial grid steps).
-    """
     return fit_chunk(per_h_bytes, B, H)
 
 
 def _fused_fwd_call(u, b2d, len_bc, rev, use_relu):
     T, B, H4 = u.shape
     H = H4 // 4
-    su = jnp.dtype(u.dtype).itemsize
-    chunk = _fused_chunk(B, H, 4 * su + su + 4 + 4)
-    assert T % chunk == 0
-    u_spec, h_spec, len_spec, b_spec, n_chunks = _fused_specs(
+    chunk = _fused_chunk(B, H, _fused_per_h(u.dtype))
+    if T % chunk:
+        raise ValueError(f"T={T} not divisible by chunk={chunk}")
+    u_spec, h_spec, len_spec, b_spec, cb_spec, n_chunks = _fused_specs(
         T, B, H, chunk, rev)
     from functools import partial
 
     kern = partial(_fused_fwd_kernel, rev, use_relu, chunk, n_chunks)
     out_shape = [jax.ShapeDtypeStruct((T, B, H), u.dtype),
                  jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-                 jax.ShapeDtypeStruct((T, B, H), jnp.float32)]
+                 jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32)]
     return pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=[u_spec, b_spec, len_spec],
-        out_specs=[h_spec, h_spec, h_spec],
+        out_specs=[h_spec, h_spec, cb_spec],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
         interpret=not _on_tpu(),
     )(u, b2d, len_bc)
 
 
-def _fused_bwd_call(u, b2d, len_bc, c, cp, gh, rev_layer, use_relu):
+def _fused_bwd_call(u, b2d, len_bc, c, cb, gh, rev_layer, use_relu):
     T, B, H4 = u.shape
     H = H4 // 4
-    su = jnp.dtype(u.dtype).itemsize
-    sg = jnp.dtype(gh.dtype).itemsize
-    chunk = _fused_chunk(B, H, 4 * su + 4 + 4 + sg + 4 * su)
+    gh = gh.astype(u.dtype)  # cotangent of h; h shares u's dtype
+    chunk = _fused_chunk(B, H, _fused_per_h(u.dtype))
     rev = not rev_layer  # traverse opposite to the forward direction
-    u_spec, h_spec, len_spec, b_spec, n_chunks = _fused_specs(
+    u_spec, h_spec, len_spec, b_spec, cb_spec, n_chunks = _fused_specs(
         T, B, H, chunk, rev)
+    if cb.shape[0] != n_chunks:
+        raise ValueError(  # cannot happen: fwd/bwd share _fused_per_h
+            f"chunk-boundary carry count {cb.shape[0]} != {n_chunks}")
     from functools import partial
 
     kern = partial(_fused_bwd_kernel, rev, use_relu, chunk, n_chunks)
     du, db = pl.pallas_call(
         kern,
         grid=(n_chunks,),
-        in_specs=[u_spec, b_spec, len_spec, h_spec, h_spec, h_spec],
+        in_specs=[u_spec, b_spec, len_spec, h_spec, cb_spec, h_spec],
         out_specs=[u_spec, b_spec],
         out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), u.dtype),
                    jax.ShapeDtypeStruct((8, 4 * H), jnp.float32)],
@@ -368,7 +398,7 @@ def _fused_bwd_call(u, b2d, len_bc, c, cp, gh, rev_layer, use_relu):
                         pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((8, 4 * H), jnp.float32)],
         interpret=not _on_tpu(),
-    )(u, b2d, len_bc, c, cp, gh)
+    )(u, b2d, len_bc, c, cb, gh)
     return du, db[0]
 
 
@@ -382,13 +412,13 @@ def _fused_sru_padded(u, b2d, len_bc, rev, use_relu):
 
 
 def _fused_sru_fwd(u, b2d, len_bc, rev, use_relu):
-    h, c, cp = _fused_fwd_call(u, b2d, len_bc, rev, use_relu)
-    return h, (u, b2d, len_bc, c, cp)
+    h, c, cb = _fused_fwd_call(u, b2d, len_bc, rev, use_relu)
+    return h, (u, b2d, len_bc, c, cb)
 
 
 def _fused_sru_bwd(rev, use_relu, res, gh):
-    u, b2d, len_bc, c, cp = res
-    du, db = _fused_bwd_call(u, b2d, len_bc, c, cp, gh, rev, use_relu)
+    u, b2d, len_bc, c, cb = res
+    du, db = _fused_bwd_call(u, b2d, len_bc, c, cb, gh, rev, use_relu)
     db2d = jnp.zeros_like(b2d).at[0].set(db.astype(b2d.dtype))
     return du, db2d, jnp.zeros_like(len_bc)
 
