@@ -96,7 +96,7 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
     lengths = jnp.asarray(
         np.r_[rs.randint(T // 2, T, batch - 1), T].astype(np.int32))
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
-    rng = jr.PRNGKey(0)
+    rng = jr.key(0, impl="rbg")  # the train loop's dropout stream
 
     step = trainer.step_fn(train=True)
     for i in range(warmup):

@@ -91,7 +91,7 @@ def main():
     lengths = jnp.asarray(
         np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32))
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
-    rng = jr.PRNGKey(0)
+    rng = jr.key(0, impl="rbg")  # the train loop's dropout stream
     xd = jnp.asarray(rs.rand(B, T, 60 - 2 + LIN_DIM).astype(np.float32))
 
     rows = []
