@@ -10,8 +10,10 @@ import jax
 from gantts_tpu.kernels.lstm_scan import fused_lstm_layer  # noqa: F401
 from gantts_tpu.kernels.sru_scan import (  # noqa: F401
     fused_sru_layer,
+    fused_sru_proj_layer,
     linear_recurrence_pallas,
     pallas_linear_recurrence,
+    sru_proj_feasible,
 )
 
 

@@ -426,6 +426,255 @@ def _fused_sru_bwd(rev, use_relu, res, gh):
 _fused_sru_padded.defvjp(_fused_sru_fwd, _fused_sru_bwd)
 
 
+# ===========================================================================
+# Projection-fused SRU layer FORWARD: the input projection u = x @ W moved
+# INSIDE the kernel (round-4 headline optimization).
+#
+# The u-based kernel above pays a u round trip forward: XLA's matmul writes
+# u = x @ W (bf16 (T, B, 4H) — 40 MB at the bench shape) to HBM and the
+# kernel reads it back — plus every pad/convert/copy XLA schedules around
+# that materialization (measured 2.6 ms/step of pure `copy` in the round-3
+# trace).  Here W (D x 4H, compute dtype) stays RESIDENT in VMEM for the
+# whole grid and each grid step projects its (chunk, B, D) x-block on the
+# MXU directly into the u OUTPUT block (the projection has no sequential
+# dependence), which the recurrence loop then consumes in place.  u leaves
+# the kernel as a normal output — it is the residual the backward needs.
+#
+# The BACKWARD deliberately stays split (measured on the v5e, this round):
+# a fully-fused backward (in-kernel u-recompute + dx/dW matmuls) ran the
+# three per-chunk MXU matmuls serialized with the VPU scan inside the
+# sequential grid and LOST 3.5 ms/step vs letting XLA run dx = du @ W^T and
+# dW = x^T @ du as two big near-peak matmuls.  So the backward is the
+# pinned u-based kernel (_fused_bwd_call: reads u/c/gh, writes du) followed
+# by the two XLA matmuls on the already-padded arrays — the round-3 profile
+# shows that combination at its matmul bound.
+#
+# VMEM: v5e has 128 MB of VMEM; Mosaic's default scoped-vmem cap (~16 MB)
+# is far below the hardware (probed empirically this round: 120 MB scratch
+# compiles and runs with vmem_limit_bytes raised).  The forward sizes its
+# chunk to MATCH the backward kernel's (the cb chunk-boundary layout is
+# shared) and raises the cap via CompilerParams for the resident W.
+#
+# Numerics are pinned to matmul_cast + fused_sru_layer (models/common.py,
+# tests/test_kernels.py): bf16 compute casts x/W to bf16, accumulates in
+# f32, stores u as bf16; the recurrence state stays f32; dW is f32.
+# ===========================================================================
+
+_PROJ_MAX_CHUNK = 32
+_PROJ_BUDGET = 64 * 1024 * 1024
+_PROJ_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _proj_resident(B, D, H, s):
+    # W (io dtype) resident + recurrence carry
+    return D * 4 * H * s + B * H * 4
+
+
+def _proj_per_t(B, D, H, s):
+    # double-buffered pipeline blocks per timestep: x in, u/h out, c (f32)
+    return B * 2 * (D * s + 4 * H * s + H * s + 4 * H)
+
+
+def _proj_chunk(B, D, H, io_dtype):
+    # must EQUAL the u-based backward kernel's chunk (shared cb layout);
+    # callers gate on sru_proj_feasible, which checks that THIS chunk's
+    # working set fits the proj budget (a smaller chunk is not an option —
+    # it would desync the cb layout from _fused_bwd_call)
+    return _fused_chunk(B, H, _fused_per_h(io_dtype))
+
+
+def sru_proj_feasible(B, D, H, compute_dtype):
+    """True if the projection-fused forward's working set (resident W +
+    the backward-matched chunk's pipeline) fits the VMEM budget.  At
+    infeasible shapes (enormous D x H) callers must use the external
+    projection + u-based kernel instead of compiling into a Mosaic
+    scoped-vmem OOM."""
+    Bp = _round_up(max(B, 1), 8)
+    Dp = _round_up(max(D, 1), 128)
+    Hp = _round_up(max(H, 1), 128)
+    io = jnp.bfloat16 if jnp.dtype(compute_dtype) == jnp.bfloat16 \
+        else jnp.float32
+    s = jnp.dtype(io).itemsize
+    chunk = _proj_chunk(Bp, Dp, Hp, io)
+    return (chunk * _proj_per_t(Bp, Dp, Hp, s)
+            + _proj_resident(Bp, Dp, Hp, s) <= _PROJ_BUDGET)
+
+
+def _proj_u(x_ref, w_ref, out_dtype):
+    """(chunk, B, D) x-block @ (D, 4H) resident W on the MXU, f32 accum."""
+    chunk, B, D = x_ref.shape
+    x2 = x_ref[...].reshape(chunk * B, D)
+    u2 = jax.lax.dot_general(x2, w_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    return u2.reshape(chunk, B, -1).astype(out_dtype)
+
+
+def _psru_fwd_kernel(rev, use_relu, chunk, n_chunks,
+                     x_ref, w_ref, b_ref, len_ref,
+                     h_ref, u_ref, c_ref, cb_ref,
+                     carry_ref):
+    # Same cell math as _fused_fwd_kernel (pinned in tests/test_kernels.py)
+    # with u coming from the in-kernel projection, written straight into
+    # the u OUTPUT block (it doubles as the backward's residual).
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    u_ref[...] = _proj_u(x_ref, w_ref, u_ref.dtype)
+    cb_ref[0] = carry_ref[...]
+    lv = len_ref[...]
+    H = carry_ref.shape[-1]
+    block = (n_chunks - 1 - t) if rev else t
+    f32 = jnp.float32
+    bf = b_ref[0, H:2 * H].astype(f32)
+    br = b_ref[0, 2 * H:3 * H].astype(f32)
+
+    def body(i, c):
+        j = (chunk - 1 - i) if rev else i
+        s = block * chunk + j
+        m = (s < lv).astype(f32)
+        x_t = u_ref[j, :, 0:H].astype(f32)
+        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
+        fm = f * m + (1.0 - m)
+        bm = (1.0 - f) * x_t * m
+        c = fm * c + bm
+        c_ref[j] = c
+        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
+        g = jnp.maximum(c, 0.0) if use_relu else jnp.tanh(c)
+        x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
+        h_ref[j] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
+        return c
+
+    carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
+
+
+def _psru_specs(T, B, D, H, chunk, rev):
+    n_chunks = T // chunk
+
+    def idx(t):
+        return ((n_chunks - 1 - t) if rev else t, 0, 0)
+
+    x_spec = pl.BlockSpec((chunk, B, D), idx, memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((chunk, B, 4 * H), idx, memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((D, 4 * H), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((B, H), lambda t: (0, 0),
+                            memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((8, 4 * H), lambda t: (0, 0),
+                          memory_space=pltpu.VMEM)
+    cb_spec = pl.BlockSpec(
+        (1, B, H), (lambda t: ((n_chunks - 1 - t) if rev else t, 0, 0)),
+        memory_space=pltpu.VMEM)
+    return x_spec, u_spec, h_spec, w_spec, len_spec, b_spec, cb_spec, \
+        n_chunks
+
+
+def _psru_fwd_call(x, w, b2d, len_bc, rev, use_relu):
+    T, B, D = x.shape
+    H = w.shape[-1] // 4
+    w_c = w.astype(x.dtype) if w.dtype != x.dtype else w
+    chunk = _proj_chunk(B, D, H, x.dtype)
+    if T % chunk:
+        raise ValueError(f"T={T} not divisible by chunk={chunk}")
+    x_spec, u_spec, h_spec, w_spec, len_spec, b_spec, cb_spec, n_chunks = \
+        _psru_specs(T, B, D, H, chunk, rev)
+    from functools import partial
+
+    kern = partial(_psru_fwd_kernel, rev, use_relu, chunk, n_chunks)
+    out_shape = [jax.ShapeDtypeStruct((T, B, H), x.dtype),
+                 jax.ShapeDtypeStruct((T, B, 4 * H), x.dtype),
+                 jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+                 jax.ShapeDtypeStruct((n_chunks, B, H), jnp.float32)]
+    return pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[x_spec, w_spec, b_spec, len_spec],
+        out_specs=[h_spec, u_spec, h_spec, cb_spec],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PROJ_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(x, w_c, b2d, len_bc)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _psru_padded(x, w, b2d, len_bc, rev, use_relu):
+    h, _, _, _ = _psru_fwd_call(x, w, b2d, len_bc, rev, use_relu)
+    return h
+
+
+def _psru_fwd(x, w, b2d, len_bc, rev, use_relu):
+    h, u, c, cb = _psru_fwd_call(x, w, b2d, len_bc, rev, use_relu)
+    return h, (x, w, b2d, len_bc, u, c, cb)
+
+
+def _psru_bwd(rev, use_relu, res, gh):
+    # du via the pinned u-based backward kernel; dx/dW as two big XLA
+    # matmuls on the already-padded arrays (measured faster than fusing
+    # them into the sequential grid — see the section comment).
+    x, w, b2d, len_bc, u, c, cb = res
+    du, db = _fused_bwd_call(u, b2d, len_bc, c, cb, gh, rev, use_relu)
+    w_c = w.astype(x.dtype) if w.dtype != x.dtype else w
+    T, B, D = x.shape
+    du2 = du.reshape(T * B, -1)
+    dx = jnp.matmul(du2, w_c.T, preferred_element_type=jnp.float32)
+    dx = dx.reshape(T, B, D).astype(x.dtype)
+    x2 = x.reshape(T * B, D)
+    dw = jnp.matmul(x2.T, du2, preferred_element_type=jnp.float32)
+    db2d = jnp.zeros_like(b2d).at[0].set(db.astype(b2d.dtype))
+    return dx, dw.astype(w.dtype), db2d, jnp.zeros_like(len_bc)
+
+
+_psru_padded.defvjp(_psru_fwd, _psru_bwd)
+
+
+def fused_sru_proj_layer(x, w, lengths, bias4=None, reverse=False,
+                         use_relu=0, compute_dtype="float32"):
+    """One full SRU layer direction from the RAW INPUT ``x`` — the input
+    projection runs inside the kernel (W resident in VMEM, per-chunk MXU
+    matmul; dW/dx in-kernel too).  Numerically pinned to
+    ``matmul_cast(x, w, compute_dtype)`` + :func:`fused_sru_layer`.
+
+    x: (T, B, D) time-major; w: (D, 4H) in its PARAMETER dtype (f32 —
+    the weight cotangent stays f32, the compute-dtype cast happens
+    inside); bias4: (4H,) ``[0, bf, br, 0]`` (f/r gate blocks only, added
+    in-kernel); lengths: (B,) int.  Returns h: (T, B, H) in the compute
+    I/O dtype with padded frames zeroed.
+    """
+    T, B, D = x.shape
+    H = w.shape[-1] // 4
+    cd = jnp.dtype(compute_dtype)
+    io = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+    if bias4 is None:
+        bias4 = jnp.zeros((4 * H,), jnp.float32)
+    x = x.astype(io)  # the astype's AD returns dx in the caller's dtype
+    Bp = _round_up(max(B, 1), 8)
+    Dp = _round_up(max(D, 1), 128)
+    Hp = _round_up(max(H, 1), 128)
+    Tp = _round_up(max(T, 1), _PROJ_MAX_CHUNK)
+    if Hp != H:
+        w = jnp.pad(w.reshape(D, 4, H), ((0, 0), (0, 0), (0, Hp - H))
+                    ).reshape(D, 4 * Hp)
+        bias4 = jnp.pad(bias4.reshape(4, H),
+                        ((0, 0), (0, Hp - H))).reshape(4 * Hp)
+    if Dp != D:
+        w = jnp.pad(w, ((0, Dp - D), (0, 0)))
+    if (Tp, Bp, Dp) != (T, B, D):
+        x = jnp.pad(x, ((0, Tp - T), (0, Bp - B), (0, Dp - D)))
+    len_bc = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.float32)[:, None], (B, Hp))
+    if Bp != B:
+        len_bc = jnp.pad(len_bc, ((0, Bp - B), (0, 0)))
+    b2d = jnp.broadcast_to(bias4.astype(jnp.float32)[None, :],
+                           (8, 4 * Hp))
+    h = _psru_padded(x, w, b2d, len_bc, bool(reverse), bool(use_relu))
+    return h[:T, :B, :H]
+
+
 def fused_sru_layer(u, lengths, bias4=None, reverse=False, use_relu=0):
     """One full SRU layer direction from raw pre-activations ``u = x @ W``.
 

@@ -96,16 +96,21 @@ class SRULayer(nn.Module):
         bf = self.param("bf", init, (H,))
         br = self.param("br", init, (H,))
 
-        # Single MXU matmul for the whole block (bf16 in the production
-        # config, f32 accumulation); everything downstream is the fused
-        # Pallas kernel (or the scan fallback), all f32.
-        u = matmul_cast(x, w, self.compute_dtype)
-
         from gantts_tpu import kernels
 
         if k == 4 and kernels.default_use_pallas():
             zeros = jnp.zeros_like(bf)
             bias4 = jnp.concatenate([zeros, bf, br, zeros])
+            if kernels.sru_proj_feasible(B, D, H, self.compute_dtype):
+                # Fully fused: the input projection runs INSIDE the kernel
+                # (W resident in VMEM, per-chunk MXU matmul; dx/dW in-kernel
+                # on the backward) — u/du never exist in HBM.
+                return kernels.fused_sru_proj_layer(
+                    x, w, lengths, bias4=bias4, reverse=self.reverse,
+                    use_relu=self.use_relu,
+                    compute_dtype=self.compute_dtype)
+            # Oversized D x H: external projection + u-based fused kernel.
+            u = matmul_cast(x, w, self.compute_dtype)
             cd = jnp.dtype(self.compute_dtype)
             if cd == jnp.bfloat16:
                 # bf16 kernel I/O halves the dominant HBM traffic (u in, du
@@ -116,6 +121,11 @@ class SRULayer(nn.Module):
             return kernels.fused_sru_layer(
                 u, lengths, bias4=bias4, reverse=self.reverse,
                 use_relu=self.use_relu)
+
+        # Single MXU matmul for the whole block (bf16 in the production
+        # config, f32 accumulation); everything downstream is the scan
+        # fallback, all f32.
+        u = matmul_cast(x, w, self.compute_dtype)
 
         # ---- fallback: pure-JAX composition (flips for reverse) ----------
         mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(x.dtype)

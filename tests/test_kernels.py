@@ -186,6 +186,110 @@ def test_fused_sru_layer_bias_gradient():
     assert (g1b[:H] == 0).all() and (g1b[3 * H:] == 0).all()
 
 
+def test_fused_sru_proj_layer_matches_unfused():
+    """Projection-fused SRU kernel (in-kernel x@W, in-kernel dx/dW)
+    == matmul_cast + u-based fused kernel: forward EXACT, all gradients
+    (dx, dW, dbias) to f32 accumulation-order noise; both directions,
+    ragged lengths, D/H not multiples of 128, T not a chunk multiple."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_sru_layer, fused_sru_proj_layer
+    from gantts_tpu.models.common import matmul_cast
+
+    rs = np.random.RandomState(3)
+    T, B, D, H = 37, 5, 70, 48
+    x = jnp.asarray(rs.randn(T, B, D).astype(np.float32))
+    w = jnp.asarray((rs.randn(D, 4 * H) * 0.1).astype(np.float32))
+    bias4 = jnp.concatenate([
+        jnp.zeros(H), jnp.asarray(rs.randn(H), jnp.float32) * 0.1,
+        jnp.asarray(rs.randn(H), jnp.float32) * 0.1, jnp.zeros(H)])
+    lengths = jnp.asarray(np.r_[rs.randint(5, T, B - 1), T].astype(np.int32))
+
+    for reverse in (False, True):
+        for use_relu in (0, 1):
+            def ref_path(x, w, b4):
+                u = matmul_cast(x, w, "float32")
+                return fused_sru_layer(u, lengths, bias4=b4,
+                                       reverse=reverse, use_relu=use_relu)
+
+            def new_path(x, w, b4):
+                return fused_sru_proj_layer(
+                    x, w, lengths, bias4=b4, reverse=reverse,
+                    use_relu=use_relu, compute_dtype="float32")
+
+            h_ref = np.asarray(ref_path(x, w, bias4))
+            h_new = np.asarray(new_path(x, w, bias4))
+            assert np.array_equal(h_ref, h_new), (reverse, use_relu)
+
+            gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref_path(*a))),
+                          argnums=(0, 1, 2))(x, w, bias4)
+            gn = jax.grad(lambda *a: jnp.sum(jnp.sin(new_path(*a))),
+                          argnums=(0, 1, 2))(x, w, bias4)
+            for name, a, b in zip(("dx", "dw", "db"), gr, gn):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = max(np.abs(a).max(), 1.0)
+                assert np.abs(a - b).max() < 2e-5 * scale, \
+                    (name, reverse, use_relu, np.abs(a - b).max())
+
+
+def test_fused_sru_proj_layer_bf16():
+    """bf16 proj-fused kernel == bf16 matmul_cast + bf16 u-based kernel:
+    forward exact, dW/db exact up to reduction order; dx within one bf16
+    quantization (the kernel emits dx in the I/O dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_sru_layer, fused_sru_proj_layer
+    from gantts_tpu.models.common import matmul_cast
+
+    rs = np.random.RandomState(4)
+    T, B, D, H = 40, 4, 96, 64
+    x = jnp.asarray(rs.randn(T, B, D).astype(np.float32))
+    w = jnp.asarray((rs.randn(D, 4 * H) * 0.1).astype(np.float32))
+    bias4 = jnp.concatenate([
+        jnp.zeros(H), jnp.asarray(rs.randn(H), jnp.float32) * 0.1,
+        jnp.asarray(rs.randn(H), jnp.float32) * 0.1, jnp.zeros(H)])
+    lengths = jnp.asarray(np.r_[rs.randint(5, T, B - 1), T].astype(np.int32))
+
+    def ref_path(x, w, b4):
+        u = matmul_cast(x, w, "bfloat16").astype(jnp.bfloat16)
+        return fused_sru_layer(u, lengths, bias4=b4, reverse=True,
+                               use_relu=0)
+
+    def new_path(x, w, b4):
+        return fused_sru_proj_layer(x, w, lengths, bias4=b4, reverse=True,
+                                    use_relu=0, compute_dtype="bfloat16")
+
+    h_ref = ref_path(x, w, bias4)
+    h_new = new_path(x, w, bias4)
+    assert h_new.dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(h_ref, np.float32),
+                          np.asarray(h_new, np.float32))
+
+    gr = jax.grad(lambda *a: jnp.sum(ref_path(*a).astype(jnp.float32) ** 2),
+                  argnums=(0, 1, 2))(x, w, bias4)
+    gn = jax.grad(lambda *a: jnp.sum(new_path(*a).astype(jnp.float32) ** 2),
+                  argnums=(0, 1, 2))(x, w, bias4)
+    tols = {"dx": 1e-2, "dw": 1e-4, "db": 1e-4}
+    for name, a, b in zip(("dx", "dw", "db"), gr, gn):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() < tols[name] * scale, \
+            (name, np.abs(a - b).max(), scale)
+
+
+def test_sru_proj_feasibility_gate():
+    """Oversized D x H must fall back (never compile to a Mosaic VMEM OOM);
+    production shapes must take the fused path."""
+    from gantts_tpu.kernels import sru_proj_feasible
+
+    assert sru_proj_feasible(20, 1024, 512, "bfloat16")   # bench flagship
+    assert sru_proj_feasible(20, 425, 512, "bfloat16")    # first layer
+    assert sru_proj_feasible(96, 1024, 512, "bfloat16")   # big batch
+    assert not sru_proj_feasible(8, 16384, 8192, "float32")
+
+
 # ---------------- fused LSTM layer kernel (kernels/lstm_scan.py) ----------
 
 
