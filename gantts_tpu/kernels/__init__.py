@@ -7,7 +7,11 @@ the fallback on other backends and the numerical oracle in tests.
 
 import jax
 
-from gantts_tpu.kernels.lstm_scan import fused_lstm_layer  # noqa: F401
+from gantts_tpu.kernels.lstm_scan import (  # noqa: F401
+    fused_lstm_layer,
+    fused_lstm_proj_layer,
+    lstm_proj_feasible,
+)
 from gantts_tpu.kernels.sru_scan import (  # noqa: F401
     fused_sru_layer,
     fused_sru_proj_layer,

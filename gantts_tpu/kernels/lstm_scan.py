@@ -46,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gantts_tpu.kernels.sru_scan import (
     _MAX_CHUNK,
+    _PROJ_VMEM_LIMIT,
     _VMEM_BUDGET,
     _on_tpu,
+    _proj_u,
     _round_up,
     fit_chunk as _lstm_chunk_impl,
 )
@@ -314,6 +316,185 @@ def _fused_lstm_bwd(rev, res, gh):
 
 
 _fused_lstm_padded.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
+
+
+# ===========================================================================
+# Projection-fused LSTM FORWARD (round 4): the input projection
+# xp = x @ W_ih runs INSIDE the kernel — W_ih joins W_hh as a VMEM
+# resident, each grid step projects its (chunk, B, D) x-block on the MXU
+# straight into the xp OUTPUT block (the backward's residual), and the
+# recurrence consumes it in place.  The backward stays split exactly like
+# the SRU's (sru_scan.py section comment): the pinned BPTT kernel produces
+# dxp/dW_hh/db, then dx = dxp @ W_ih^T and dW_ih = x^T @ dxp run as two
+# big near-peak XLA matmuls.
+# ===========================================================================
+
+_PROJ_BUDGET = 48 * 1024 * 1024
+
+
+def lstm_proj_feasible(B, D, H, compute_dtype):
+    """True if the projection-fused forward fits the VMEM budget at the
+    minimum chunk, ON TOP of the recurrence kernel's own feasibility
+    (kernel_feasible)."""
+    if not kernel_feasible(B, H, compute_dtype):
+        return False
+    Bp = _round_up(max(B, 1), 8)
+    Dp = _round_up(max(D, 1), 128)
+    Hp = _round_up(max(H, 1), 128)
+    io = jnp.bfloat16 if jnp.dtype(compute_dtype) == jnp.bfloat16 \
+        else jnp.float32
+    s = jnp.dtype(io).itemsize
+    resident = (Dp + Hp) * 4 * Hp * s + 2 * Bp * Hp * 4
+    per_t = Bp * 2 * (Dp * s + 4 * Hp * s + Hp * s + Hp * 4)
+    return per_t + resident <= _PROJ_BUDGET
+
+
+def _plstm_chunk(B, D, H, io_dtype):
+    s = jnp.dtype(io_dtype).itemsize
+    resident = (D + H) * 4 * H * s + 2 * B * H * 4
+    per_t = B * 2 * (D * s + 4 * H * s + H * s + H * 4)
+    chunk = _MAX_CHUNK
+    while chunk > 1 and chunk * per_t + resident > _PROJ_BUDGET:
+        chunk //= 2
+    return chunk
+
+
+def _plstm_fwd_kernel(rev, chunk, n_chunks,
+                      x_ref, wih_ref, whh_ref, b_ref, len_ref,
+                      y_ref, xp_ref, c_ref, h_carry, c_carry):
+    # Identical recurrence math to _lstm_fwd_kernel (pinned in
+    # tests/test_kernels.py) with xp coming from the in-kernel projection.
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_carry[...] = jnp.zeros_like(h_carry)
+        c_carry[...] = jnp.zeros_like(c_carry)
+
+    xp_ref[...] = _proj_u(x_ref, wih_ref, xp_ref.dtype)
+    lv = len_ref[...]
+    f32 = jnp.float32
+    block = (n_chunks - 1 - t) if rev else t
+    whh = whh_ref[...]
+    b_row = b_ref[0].astype(f32)
+
+    def body(i_loop, carry):
+        h, c = carry
+        j = (chunk - 1 - i_loop) if rev else i_loop
+        s = block * chunk + j
+        m = (s < lv).astype(f32)
+        ig, fg, gg, og = _gates(xp_ref[j], b_row, h, whh)
+        c_new = fg * c + ig * gg
+        h_new = og * jnp.tanh(c_new)
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        y_ref[j] = (h_new * m).astype(y_ref.dtype)
+        c_ref[j] = c
+        return h, c
+
+    h_carry[...], c_carry[...] = jax.lax.fori_loop(
+        0, chunk, body, (h_carry[...], c_carry[...]))
+
+
+def _plstm_fwd_call(x, w_ih, w_hh, b2d, len_bc, rev):
+    T, B, D = x.shape
+    H = w_hh.shape[0]
+    wih_c = _cast_weights(w_ih, x.dtype)
+    whh_c = _cast_weights(w_hh, x.dtype)
+    chunk = _plstm_chunk(B, D, H, x.dtype)
+    if T % chunk != 0:
+        raise ValueError(f"T={T} not divisible by chunk={chunk}")
+    xp_spec, h_spec, n_chunks = _specs(T, B, H, chunk, rev)
+    x_spec = pl.BlockSpec(
+        (chunk, B, D),
+        lambda t: ((n_chunks - 1 - t) if rev else t, 0, 0),
+        memory_space=pltpu.VMEM)
+    kern = partial(_plstm_fwd_kernel, rev, chunk, n_chunks)
+    return pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[x_spec, _const_spec(wih_c.shape), _const_spec(whh_c.shape),
+                  _const_spec(b2d.shape), _const_spec(len_bc.shape)],
+        out_specs=[h_spec, xp_spec, h_spec],
+        out_shape=[jax.ShapeDtypeStruct((T, B, H), x.dtype),
+                   jax.ShapeDtypeStruct((T, B, 4 * H), x.dtype),
+                   jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_PROJ_VMEM_LIMIT),
+        interpret=not _on_tpu(),
+    )(x, wih_c, whh_c, b2d, len_bc)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _plstm_padded(x, w_ih, w_hh, b2d, len_bc, rev):
+    y, _, _ = _plstm_fwd_call(x, w_ih, w_hh, b2d, len_bc, rev)
+    return y
+
+
+def _plstm_fwd(x, w_ih, w_hh, b2d, len_bc, rev):
+    y, xp, c = _plstm_fwd_call(x, w_ih, w_hh, b2d, len_bc, rev)
+    return y, (x, w_ih, w_hh, b2d, len_bc, xp, y, c)
+
+
+def _plstm_bwd(rev, res, gh):
+    x, w_ih, w_hh, b2d, len_bc, xp, y, c = res
+    dxp, dwhh, db = _bwd_call(xp, w_hh, b2d, len_bc, y, c, gh, rev)
+    wih_c = _cast_weights(w_ih, x.dtype)
+    T, B, D = x.shape
+    dxp2 = dxp.reshape(T * B, -1)
+    dx = jnp.matmul(dxp2, wih_c.T, preferred_element_type=jnp.float32)
+    dx = dx.reshape(T, B, D).astype(x.dtype)
+    x2 = x.reshape(T * B, D)
+    dwih = jnp.matmul(x2.T, dxp2, preferred_element_type=jnp.float32)
+    db2d = jnp.zeros_like(b2d).at[0].set(db.astype(b2d.dtype))
+    return (dx, dwih.astype(w_ih.dtype), dwhh.astype(w_hh.dtype), db2d,
+            jnp.zeros_like(len_bc))
+
+
+_plstm_padded.defvjp(_plstm_fwd, _plstm_bwd)
+
+
+def fused_lstm_proj_layer(x, w_ih, w_hh, bias, lengths, reverse=False,
+                          compute_dtype="float32"):
+    """One full LSTM layer direction from the RAW INPUT ``x`` — the input
+    projection runs inside the kernel (W_ih resident in VMEM next to
+    W_hh).  Numerically pinned to ``matmul_cast(x, w_ih, compute_dtype)``
+    + :func:`fused_lstm_layer` in tests/test_kernels.py.
+
+    x: (T, B, D) time-major; w_ih: (D, 4H) and w_hh: (H, 4H) in their
+    PARAMETER dtype (f32 — weight cotangents stay f32, compute-dtype casts
+    happen inside); bias: (4H,) summed b_ih + b_hh, added in-kernel.
+    Returns y: (T, B, H) in the compute I/O dtype, padded frames zeroed.
+    """
+    T, B, D = x.shape
+    H = w_hh.shape[0]
+    cd = jnp.dtype(compute_dtype)
+    io = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+    x = x.astype(io)
+    Bp = _round_up(max(B, 1), 8)
+    Dp = _round_up(max(D, 1), 128)
+    Hp = _round_up(max(H, 1), 128)
+    Tp = _round_up(max(T, 1), _MAX_CHUNK)
+    if Hp != H:
+        w_ih = jnp.pad(w_ih.reshape(D, 4, H),
+                       ((0, 0), (0, 0), (0, Hp - H))).reshape(D, 4 * Hp)
+        w_hh = jnp.pad(w_hh.reshape(H, 4, H),
+                       ((0, Hp - H), (0, 0), (0, Hp - H))
+                       ).reshape(Hp, 4 * Hp)
+        bias = jnp.pad(bias.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(-1)
+    if Dp != D:
+        w_ih = jnp.pad(w_ih, ((0, Dp - D), (0, 0)))
+    if (Tp, Bp, Dp) != (T, B, D):
+        x = jnp.pad(x, ((0, Tp - T), (0, Bp - B), (0, Dp - D)))
+    len_bc = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.float32)[:, None], (B, Hp))
+    if Bp != B:
+        len_bc = jnp.pad(len_bc, ((0, Bp - B), (0, 0)))
+    b2d = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (8, 4 * Hp))
+    y = _plstm_padded(x, w_ih, w_hh, b2d, len_bc, bool(reverse))
+    return y[:T, :B, :H]
 
 
 def fused_lstm_layer(xp, w_hh, bias, lengths, reverse=False):

@@ -42,11 +42,14 @@ class LSTMLayer(nn.Module):
     hidden_dim: int
     compute_dtype: str = "float32"
     reverse: bool = False
+    time_major: bool = False  # x is (T, B, D); outputs (T, B, H)
 
     @nn.compact
     def __call__(self, x, lengths):
-        # x: (B, T, D)
-        B, T, D = x.shape
+        if self.time_major:
+            T, B, D = x.shape
+        else:
+            B, T, D = x.shape
         H = self.hidden_dim
         bound = 1.0 / (H ** 0.5)
         init = torch_uniform_init(bound)
@@ -56,26 +59,42 @@ class LSTMLayer(nn.Module):
         # but two draws changes the init distribution — keep both.
         b_ih = self.param("b_ih", init, (4 * H,))
         b_hh = self.param("b_hh", init, (4 * H,))
-
-        # (B, T, 4H), hoisted out of the recurrence (one big MXU matmul)
-        xp = matmul_cast(x, w_ih, self.compute_dtype)
         cd = jnp.dtype(self.compute_dtype)
 
         from gantts_tpu import kernels
         from gantts_tpu.kernels import lstm_scan
 
+        if kernels.default_use_pallas() and lstm_scan.lstm_proj_feasible(
+                B, D, H, cd):
+            # Fully fused forward: the input projection runs INSIDE the
+            # kernel (W_ih resident in VMEM next to W_hh); backward = the
+            # pinned BPTT kernel + XLA dx/dW_ih matmuls.
+            x_tm = x if self.time_major else jnp.swapaxes(x, 0, 1)
+            y = kernels.fused_lstm_proj_layer(
+                x_tm, w_ih, w_hh, b_ih + b_hh, lengths,
+                reverse=self.reverse, compute_dtype=self.compute_dtype)
+            return y if self.time_major else jnp.swapaxes(y, 0, 1)
+
+        # (B/T, T/B, 4H), hoisted out of the recurrence (one MXU matmul)
+        xp = matmul_cast(x, w_ih, self.compute_dtype)
+
         if kernels.default_use_pallas() and lstm_scan.kernel_feasible(
                 B, H, cd):
-            xp_tm = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
+            # Oversized D x H for the resident W_ih: external projection
+            # + the xp-based fused recurrence kernel.
+            xp_tm = xp if self.time_major else jnp.swapaxes(xp, 0, 1)
             if cd == jnp.bfloat16:
                 # bf16 kernel I/O (xp in, h out, dxp out) halves the
                 # dominant HBM traffic; in-kernel math and carries are f32
                 xp_tm = xp_tm.astype(cd)
             y = kernels.fused_lstm_layer(xp_tm, w_hh, b_ih + b_hh, lengths,
                                          reverse=self.reverse)
-            return jnp.swapaxes(y, 0, 1)
+            return y if self.time_major else jnp.swapaxes(y, 0, 1)
 
-        # ---- fallback: masked lax.scan (flips for reverse) ----------------
+        # ---- fallback: masked lax.scan (flips for reverse), batch-major ---
+        if self.time_major:
+            x = jnp.swapaxes(x, 0, 1)
+            xp = jnp.swapaxes(xp, 0, 1)
         mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
         mask = mask[:, :, None]
         xp = xp + (b_ih + b_hh)
@@ -104,7 +123,8 @@ class LSTMLayer(nn.Module):
         m_tm = jnp.swapaxes(mask, 0, 1)     # (T, B, 1)
         (_, _), ys = jax.lax.scan(step, (h0, c0), (xp_tm, m_tm))
         ys = jnp.swapaxes(ys, 0, 1)         # (B, T, H)
-        return jnp.flip(ys, axis=1) if self.reverse else ys
+        ys = jnp.flip(ys, axis=1) if self.reverse else ys
+        return jnp.swapaxes(ys, 0, 1) if self.time_major else ys
 
 
 class StackedLSTM(nn.Module):
@@ -119,20 +139,24 @@ class StackedLSTM(nn.Module):
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         lengths = default_lengths(x, lengths)
-        out = x
+        # Time-major through the whole stack (one transpose in, one out —
+        # the per-layer swaps the batch-major stack needed showed up as
+        # `copy` ops in the round-3 device trace).
+        out = jnp.swapaxes(x, 0, 1)
         for layer in range(self.num_layers):
             fwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
+                            time_major=True,
                             name=f"l{layer}_fwd")(out, lengths)
             if self.bidirectional:
                 # reverse direction handled inside the layer (index maps on
                 # TPU, flips in the scan fallback); leading padding is inert
                 # because the masked recurrence freezes the (zero) carry.
                 bwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
-                                reverse=True,
+                                reverse=True, time_major=True,
                                 name=f"l{layer}_bwd")(out, lengths)
                 out = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return out
+        return jnp.swapaxes(out, 0, 1)

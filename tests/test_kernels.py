@@ -406,6 +406,56 @@ def test_lstm_layer_module_kernel_vs_fallback(monkeypatch):
             np.abs(np.asarray(a) - np.asarray(b)).max()
 
 
+def test_fused_lstm_proj_layer_matches_unfused():
+    """Projection-fused LSTM forward (in-kernel x@W_ih) == matmul_cast +
+    xp-based fused kernel: forward exact, all gradients (dx, dW_ih, dW_hh,
+    dbias) to accumulation-order noise; both directions, f32 and bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import fused_lstm_layer, fused_lstm_proj_layer
+    from gantts_tpu.models.common import matmul_cast
+
+    rs = np.random.RandomState(5)
+    T, B, D, H = 21, 3, 11, 9
+    x = jnp.asarray(rs.randn(T, B, D).astype(np.float32))
+    w_ih = jnp.asarray(rs.randn(D, 4 * H).astype(np.float32) * 0.3)
+    w_hh = jnp.asarray(rs.randn(H, 4 * H).astype(np.float32) * 0.3)
+    bias = jnp.asarray(rs.randn(4 * H).astype(np.float32) * 0.1)
+    lengths = jnp.asarray(np.array([21, 13, 5], np.int32))
+
+    for cd, fwd_tol, g_tol in (("float32", 0.0, 2e-5), ("bfloat16", 0.0,
+                                                        2e-2)):
+        for reverse in (False, True):
+            def ref_path(x, wi, wh, b):
+                xp = matmul_cast(x, wi, cd)
+                if cd == "bfloat16":
+                    xp = xp.astype(jnp.bfloat16)
+                return fused_lstm_layer(xp, wh, b, lengths, reverse=reverse)
+
+            def new_path(x, wi, wh, b):
+                return fused_lstm_proj_layer(x, wi, wh, b, lengths,
+                                             reverse=reverse,
+                                             compute_dtype=cd)
+
+            y_ref = np.asarray(ref_path(x, w_ih, w_hh, bias), np.float32)
+            y_new = np.asarray(new_path(x, w_ih, w_hh, bias), np.float32)
+            assert np.abs(y_ref - y_new).max() <= fwd_tol, (cd, reverse)
+
+            gr = jax.grad(
+                lambda *a: jnp.sum(ref_path(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3))(x, w_ih, w_hh, bias)
+            gn = jax.grad(
+                lambda *a: jnp.sum(new_path(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3))(x, w_ih, w_hh, bias)
+            for name, a, b in zip(("dx", "dwih", "dwhh", "db"), gr, gn):
+                a = np.asarray(a, np.float32)
+                b = np.asarray(b, np.float32)
+                scale = max(np.abs(a).max(), 1.0)
+                assert np.abs(a - b).max() < g_tol * scale, \
+                    (cd, reverse, name, np.abs(a - b).max(), scale)
+
+
 def test_fused_lstm_layer_bf16_io():
     """bf16 xp I/O: in-kernel math/carries stay f32, so the result must
     track the f32 oracle to bf16 tolerance."""
