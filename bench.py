@@ -98,12 +98,18 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
     rng = jr.key(0, impl="rbg")  # the train loop's dropout stream
 
+    def _sync(out):
+        # true sync on axon (block_until_ready is a no-op there for
+        # pure-XLA programs): a device->host copy of an output buffer
+        # cannot complete before the in-order device queue drains.
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
     step = trainer.step_fn(train=True)
     for i in range(warmup):
         rng, k = jr.split(rng)
         gstate, dstate, out = step(gstate, dstate, None, x, y, lengths, R,
                                    None, jnp.float32(1.0), k)
-    jax.block_until_ready(out)
+    _sync(out)
     # The axon tunnel's dispatch latency is wildly variable run-to-run;
     # take the best of several measurement windows so the recorded number
     # reflects device throughput, not a transient tunnel stall.
@@ -114,7 +120,7 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
             rng, k = jr.split(rng)
             gstate, dstate, out = step(gstate, dstate, None, x, y, lengths,
                                        R, None, jnp.float32(1.0), k)
-        jax.block_until_ready(out)
+        _sync(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
     frames = float(np.asarray(lengths).sum()) * steps
     return frames / best_dt

@@ -189,21 +189,30 @@ def test_time_sharded_mlpg_matches_dense():
     assert np.abs(y2 - y_ref).max() < 5e-5
 
 
+# Parametric multi-host cluster program: argv = pid, port, repo, nprocs,
+# nsteps, save_dir ('' = no save), resume_dir ('' = fresh init).  Runs
+# ``nsteps`` chained GAN steps on the identical global batch with
+# per-step rng PRNGKey(7 + i); optionally resumes from / saves the
+# checkpoint-name-contract files (proc-0-only write inside
+# save_checkpoint), and prints the final step's scalars.
 _MULTIHOST_PROG = r'''
 import json, os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-pid = int(sys.argv[1])
-jax.distributed.initialize(coordinator_address="127.0.0.1:%d" % int(sys.argv[2]),
-                           num_processes=2, process_id=pid)
+pid, port, repo, nprocs, nsteps, save_dir, resume_dir, step0 = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
+    int(sys.argv[5]), sys.argv[6], sys.argv[7], int(sys.argv[8]))
+jax.distributed.initialize(coordinator_address="127.0.0.1:%d" % port,
+                           num_processes=nprocs, process_id=pid)
 import numpy as np
 import jax.numpy as jnp
-sys.path.insert(0, sys.argv[3])
+sys.path.insert(0, repo)
 from gantts_tpu import hparams
 from gantts_tpu.core.windows import unit_variance_mlpg_matrix
 from gantts_tpu.parallel import DataParallelGanTrainer, make_mesh
-from gantts_tpu.train import StepConfig
+from gantts_tpu.train import StepConfig, TrainState
+from gantts_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from gantts_tpu.train.setup import init_models_and_states
 
 hp = hparams.vc.copy()
@@ -216,14 +225,26 @@ hp.discriminator_params.update(in_dim=9, num_hidden=1, hidden_dim=8,
 model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
 cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.5, mge_w=1.0,
                               update_d=True, update_g=True)
-mesh = make_mesh()  # all 4 global devices (2 per process)
-assert mesh.devices.size == 4, mesh.devices.size
+if resume_dir:
+    # DP resume handoff: every process loads the proc-0-written files; the
+    # fresh opt_states are the structure templates (msgpack flattens optax)
+    pg, og, _ = load_checkpoint(
+        os.path.join(resume_dir, "checkpoint_epoch1_Generator.pth"),
+        opt_template=gstate.opt_state)
+    pd_, od, _ = load_checkpoint(
+        os.path.join(resume_dir, "checkpoint_epoch1_Discriminator.pth"),
+        opt_template=dstate.opt_state)
+    gstate = TrainState(params=pg, opt_state=og)
+    dstate = TrainState(params=pd_, opt_state=od)
+mesh = make_mesh()  # all 2*nprocs global devices
+assert mesh.devices.size == 2 * nprocs, mesh.devices.size
 tr = DataParallelGanTrainer(model_g, model_d, tx_g, tx_d, cfg,
                             np.zeros(27, np.float32), np.ones(27, np.float32),
                             mesh=mesh)
 gstate, dstate = tr.place_states(gstate, dstate)
 
-# IDENTICAL global batch on both processes (the loader contract)
+# IDENTICAL global batch on every process (the loader contract); batch is
+# sized so every 2-device host holds exactly B / (2 * nprocs) rows
 B, T = 8, 64
 rs = np.random.RandomState(0)
 x = rs.rand(B, T, 27).astype(np.float32)
@@ -232,19 +253,23 @@ lengths = np.r_[rs.randint(T // 2, T, B - 1), T].astype(np.int32)
 xs, ys, ls, _ = tr.put_batch(x, y, lengths)
 R = tr.put_replicated(np.asarray(unit_variance_mlpg_matrix(hp.windows, T),
                                  np.float32))
-gstate, dstate, out = tr.step_fn(True)(
-    gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
-    jax.random.PRNGKey(7))
+step = tr.step_fn(True)
+for i in range(nsteps):
+    gstate, dstate, out = step(
+        gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
+        jax.random.PRNGKey(7 + step0 + i))
+if save_dir:
+    save_checkpoint(gstate, 1, save_dir, "Generator")
+    save_checkpoint(dstate, 1, save_dir, "Discriminator")
 out = {k: float(v) for k, v in jax.device_get(out).items()}
 print("RESULT" + json.dumps(out, sort_keys=True), flush=True)
 '''
 
 
-def test_multihost_two_process_cpu_cluster(tmp_path):
-    """REAL multi-host DP: two OS processes form a jax.distributed CPU
-    cluster (2 local devices each, Gloo collectives); both feed the
-    identical global batch through put_batch/place_states and must agree
-    on every step scalar — and match the in-process single-mesh step."""
+def _run_cluster(nprocs, nsteps=1, save_dir="", resume_dir="", step0=0,
+                 retries=3):
+    """Launch an nprocs-process CPU Gloo cluster of _MULTIHOST_PROG and
+    return each process's RESULT dict."""
     import json
     import os
     import socket
@@ -259,37 +284,37 @@ def test_multihost_two_process_cpu_cluster(tmp_path):
 
     def attempt():
         # free-port probe is inherently racy (closed before the coordinator
-        # binds it) — the caller retries with a fresh port on failure
+        # binds it) — retried with a fresh port on failure
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
         procs = [subprocess.Popen(
-            [sys.executable, "-c", _MULTIHOST_PROG, str(i), str(port), REPO],
+            [sys.executable, "-c", _MULTIHOST_PROG, str(i), str(port), REPO,
+             str(nprocs), str(nsteps), save_dir, resume_dir, str(step0)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=REPO, env=env) for i in range(2)]
+            cwd=REPO, env=env) for i in range(nprocs)]
         texts = [p.communicate(timeout=600)[0] for p in procs]
         if any(p.returncode != 0 for p in procs):
             return None, texts
         return texts, texts
 
-    for _ in range(3):
+    for _ in range(retries):
         texts, raw = attempt()
         if texts is not None:
             break
-    assert texts is not None, raw[0][-2000:] + raw[1][-2000:]
+    assert texts is not None, "".join(t[-2000:] for t in raw)
     outs = []
     for out in texts:
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
         assert line, out[-2000:]
         outs.append(json.loads(line[-1][len("RESULT"):]))
+    return outs
 
-    assert outs[0].keys() == outs[1].keys()
-    for k in outs[0]:
-        assert np.isfinite(outs[0][k]), (k, outs[0])
-        assert np.isclose(outs[0][k], outs[1][k], rtol=1e-6), \
-            (k, outs[0][k], outs[1][k])
 
-    # cross-check against the in-process step on a 4-device mesh
+def _inprocess_reference(n_devices, nsteps):
+    """The same workload on an in-process n_devices mesh (same data, same
+    rng key sequence, uninterrupted) — the cross-check target for the
+    cluster runs, including the save/resume continuity check."""
     hp = hparams.vc.copy()
     hp.order = 9
     hp.stream_sizes = [27]
@@ -300,7 +325,7 @@ def test_multihost_two_process_cpu_cluster(tmp_path):
     model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
     cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.5, mge_w=1.0,
                                   update_d=True, update_g=True)
-    mesh = make_mesh(4)
+    mesh = make_mesh(n_devices)
     tr = DataParallelGanTrainer(model_g, model_d, tx_g, tx_d, cfg,
                                 np.zeros(27, np.float32),
                                 np.ones(27, np.float32), mesh=mesh)
@@ -313,13 +338,62 @@ def test_multihost_two_process_cpu_cluster(tmp_path):
     xs, ys, ls, _ = tr.put_batch(x, y, lengths)
     R = tr.put_replicated(np.asarray(
         unit_variance_mlpg_matrix(hp.windows, T), np.float32))
-    _, _, ref = tr.step_fn(True)(
-        gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
-        jax.random.PRNGKey(7))
-    ref = {k: float(v) for k, v in jax.device_get(ref).items()}
-    for k, v in ref.items():
-        assert np.isclose(outs[0][k], v, rtol=2e-4, atol=1e-5), \
-            (k, outs[0][k], v)
+    step = tr.step_fn(True)
+    for i in range(nsteps):
+        gstate, dstate, out = step(
+            gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
+            jax.random.PRNGKey(7 + i))
+    return {k: float(v) for k, v in jax.device_get(out).items()}
+
+
+def _assert_cluster_agrees(outs, ref=None, rtol=2e-4):
+    for o in outs[1:]:
+        assert outs[0].keys() == o.keys()
+        for k in outs[0]:
+            assert np.isfinite(outs[0][k]), (k, outs[0])
+            assert np.isclose(outs[0][k], o[k], rtol=1e-6), \
+                (k, outs[0][k], o[k])
+    if ref is not None:
+        for k, v in ref.items():
+            assert np.isclose(outs[0][k], v, rtol=rtol, atol=1e-5), \
+                (k, outs[0][k], v)
+
+
+def test_multihost_two_process_cpu_cluster():
+    """REAL multi-host DP: two OS processes form a jax.distributed CPU
+    cluster (2 local devices each, Gloo collectives); both feed the
+    identical global batch through put_batch/place_states and must agree
+    on every step scalar — and match the in-process single-mesh step."""
+    outs = _run_cluster(nprocs=2, nsteps=1)
+    _assert_cluster_agrees(outs, _inprocess_reference(4, 1))
+
+
+def test_multihost_four_process_cpu_cluster():
+    """Same contract at 4 processes x 2 devices (8-way DP): the
+    identical-global-batch / addressable-shard placement is exactly what
+    breaks at larger process counts (each host now owns a 1-row shard of
+    the 8-row batch), so the agreement must hold beyond the 2-process
+    case."""
+    outs = _run_cluster(nprocs=4, nsteps=1)
+    assert len(outs) == 4
+    _assert_cluster_agrees(outs, _inprocess_reference(8, 1))
+
+
+def test_multihost_checkpoint_handoff(tmp_path):
+    """DP save-on-proc-0 -> fresh-cluster resume continuity: train 3 steps
+    on a 2-process cluster, write the contract-named checkpoints (proc 0
+    only), resume a BRAND NEW 2-process cluster from them, take step 4,
+    and require its scalars to match an uninterrupted in-process 4-step
+    run bit-for-tolerance (same data, same rng key sequence)."""
+    ck = str(tmp_path)
+    outs_a = _run_cluster(nprocs=2, nsteps=3, save_dir=ck)
+    _assert_cluster_agrees(outs_a)
+    import os
+    for name in ("Generator", "Discriminator"):
+        assert os.path.exists(
+            os.path.join(ck, f"checkpoint_epoch1_{name}.pth")), name
+    outs_b = _run_cluster(nprocs=2, nsteps=1, resume_dir=ck, step0=3)
+    _assert_cluster_agrees(outs_b, _inprocess_reference(4, 4))
 
 
 def test_dp_step_with_pallas_kernels_matches_fallback(monkeypatch):

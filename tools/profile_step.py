@@ -31,17 +31,44 @@ T = 512
 LIN_DIM, OUT_DIM = 425, 187
 
 
-def timed(fn, *args, steps=20, warmup=3):
+def _sync(out):
+    """True synchronization on axon: `jax.block_until_ready` is a no-op
+    there for pure-XLA programs (CLAUDE.md), but a device->host transfer of
+    an output buffer cannot complete before the program that produces it —
+    and the single TPU core runs dispatches in order, so materializing the
+    LAST output's bytes proves every queued step finished."""
     import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
+def timed(fn, *args, steps=5, warmup=2):
+    """Per-call DEVICE time from a jax.profiler trace.
+
+    Host-side wall timing is untrustworthy on axon in BOTH directions:
+    `jax.block_until_ready` is a no-op for pure-XLA programs (a loop can
+    finish 'instantly'), and real synchronization (device->host transfer)
+    exposes the tunnel's wildly variable per-call RPC latency, which
+    dwarfs small components.  The profiler's device lane is the ground
+    truth (CLAUDE.md measurement rule), so each component is traced for a
+    few calls and the dominant top-level jit span is averaged."""
+    import tempfile
+
+    import jax
+
+    from tools.trace_report import jit_device_ms
 
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    _sync(out)
+    d = tempfile.mkdtemp(prefix="gantts_prof_")
+    jax.profiler.start_trace(d)
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / steps * 1e3  # ms
+    _sync(out)
+    jax.profiler.stop_trace()
+    return jit_device_ms(d, steps)
 
 
 def main():
@@ -103,17 +130,31 @@ def main():
         return step(gs, ds, None, x, y, lengths, R, None, jnp.float32(1.0), k)
 
     # run on copies (donation): re-init each loop is too slow; instead use
-    # the returned states so buffers stay alive.
+    # the returned states so buffers stay alive.  Wall time over the
+    # chained-donated loop is the bench-equivalent number (includes the
+    # tunnel); the device row comes from a trace like every component.
     gs, ds = gstate, dstate
     for _ in range(3):
         gs, ds, out = full(gs, ds, rng)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     N = 20
     for _ in range(N):
         gs, ds, out = full(gs, ds, rng)
-    jax.block_until_ready(out)
-    rows.append(("full G+D step", (time.perf_counter() - t0) / N * 1e3))
+    _sync(out)
+    full_wall = (time.perf_counter() - t0) / N * 1e3
+    rows.append(("full G+D step (wall)", full_wall))
+    import tempfile
+
+    from tools.trace_report import jit_device_ms
+
+    d = tempfile.mkdtemp(prefix="gantts_prof_full_")
+    jax.profiler.start_trace(d)
+    for _ in range(5):
+        gs, ds, out = full(gs, ds, rng)
+    _sync(out)
+    jax.profiler.stop_trace()
+    rows.append(("full G+D step (device)", jit_device_ms(d, 5)))
 
     # NOTE: every jit below takes the big arrays (x, y, R, xd) as ARGUMENTS
     # — axon's remote-compile endpoint rejects programs with large baked-in
@@ -261,14 +302,15 @@ def main():
     for name, ms in rows:
         print(f"{name:24s} {ms:8.2f} ms")
     frames = float(np.asarray(lengths).sum())
-    full_ms = rows[0][1]
-    print(f"\nframes/sec/chip: {frames / (full_ms / 1e3):,.0f}")
+    wall_ms, dev_ms = rows[0][1], rows[1][1]
+    print(f"\nframes/sec/chip: {frames / (wall_ms / 1e3):,.0f} wall / "
+          f"{frames / (dev_ms / 1e3):,.0f} device")
 
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
         for _ in range(3):
             gs, ds, out = full(gs, ds, rng)
-        jax.block_until_ready(out)
+        _sync(out)
         jax.profiler.stop_trace()
         print("trace ->", args.trace_dir)
 

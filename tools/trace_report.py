@@ -50,6 +50,25 @@ _JIT = re.compile(r"^jit_?\w*\(\d+\)$|^jit__unknown")
 _NUM = re.compile(r"^\d+$")
 
 
+def jit_device_ms(trace_dir, steps=None):
+    """Average DEVICE duration (ms) of the dominant top-level jit span in
+    ``trace_dir`` — the trustworthy per-call time on axon (host-side
+    timing there is polluted by variable tunnel RPC latency; CLAUDE.md).
+    ``steps`` overrides the divisor (defaults to the span count)."""
+    events, _ = load_events(trace_dir)
+    jit_spans = [e for e in events if _JIT.match(e["name"])]
+    if not jit_spans:
+        return float("nan")
+    # dominant by TOTAL device time, not count: tiny helper jits (e.g.
+    # jit_convert_element_type) can tie the span count
+    totals, counts = collections.Counter(), collections.Counter()
+    for e in jit_spans:
+        totals[e["name"]] += e.get("dur", 0)
+        counts[e["name"]] += 1
+    top_name, total = totals.most_common(1)[0]
+    return (total / 1e3) / (steps or counts[top_name])
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("trace_dir")
