@@ -54,7 +54,9 @@ class NPYDataSource:
         npy_files = [f for f in os.listdir(self.dirname)
                      if splitext(f)[-1] == ".npy"]
         npy_files = sorted(join(self.dirname, f) for f in npy_files)
-        # last 5 is for real testset
+        # the final 5 files (sorted order) are the held-out eval set; the
+        # remainder is split train/val below — both choices must stay
+        # bit-identical to the reference pipeline (PARITY.md data row)
         if self.test:
             return npy_files[len(npy_files) - 5:]
         npy_files = npy_files[: len(npy_files) - 5]

@@ -745,15 +745,44 @@ def d4c(x, f0, temporal_positions, fs, threshold=0.85, fft_size=None):
         band_re[b] = z.real
         band_im[b] = z.imag
 
+    # Transition-aware sub-window placement (round 4, vuv_boundary class):
+    # at voiced frames near a V/UV boundary the +-(n_sub-1)/2*T0 ensemble
+    # (plus the +T0 correlation lag) straddles into the unvoiced neighbor,
+    # the noise deflates the complex correlation, and the frame's
+    # aperiodicity is biased HIGH — copy synthesis then renders boundary
+    # frames too noisy (measured: boundary-class MCD 2.06 -> 1.88 dB with
+    # this clamp; the voiced signal inside the segment is what the frame's
+    # ap should describe).  Each frame's ensemble CENTER is shifted just
+    # enough to keep every sub-window inside its own voiced segment.  The
+    # shift is expressed as an adjusted temporal position c/fs with c an
+    # exact integer sample, so the C++ twin (which recomputes
+    # c = nearbyint(tpos * fs)) sees the identical center and stays
+    # decision-exact with the NumPy oracle.
+    tpos_eff = np.asarray(temporal_positions, np.float64).copy()
+    for a, b in _voiced_segments(f0):
+        s0 = int(round(temporal_positions[a] * fs))
+        s1 = int(round(temporal_positions[b - 1] * fs))
+        for i in range(a, b):
+            T0 = fs / f0[i]
+            lag0 = int(round(T0))
+            srch = max(1, int(round(0.03 * T0)))
+            subL = int(D4C_SUB_PERIODS * T0)
+            span_l = (D4C_N_SUB - 1) / 2.0 * T0 + subL / 2.0
+            lo, hi = s0 + span_l, s1 - (span_l + lag0 + srch)
+            if lo <= hi:
+                c = int(round(temporal_positions[i] * fs))
+                tpos_eff[i] = float(int(np.clip(c, np.ceil(lo),
+                                                np.floor(hi)))) / fs
+
     from gantts_tpu.frontend import native
 
     if native.has_d4c_band_cplx():
         band_ap = native.d4c_band_cplx(band_re, band_im, f0,
-                                       temporal_positions, fs,
+                                       tpos_eff, fs,
                                        D4C_SUB_PERIODS, D4C_N_SUB)
     else:
         band_ap = _band_ap_subcplx_py(band_re, band_im, f0,
-                                      temporal_positions, fs)
+                                      tpos_eff, fs)
 
     # expand bands to the full frequency axis (log-linear interpolation)
     centers = (np.asarray(band_edges[:-1]) + np.asarray(band_edges[1:])) / 2

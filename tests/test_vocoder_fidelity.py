@@ -131,16 +131,22 @@ def test_checked_in_headline_is_healthy():
 
     with open(join(REPO, "vocoder_fidelity.json")) as f:
         fid = json.load(f)
-    assert fid["copy_synthesis_mcd_db"] <= 1.5
+    assert fid["copy_synthesis_mcd_db"] <= 1.4
     assert fid["envelope_lsd_db"] <= 1.8
     assert fid["harvest"]["f0_rmse_hz"] <= 0.5
     assert fid["harvest"]["gross_error_rate"] == 0.0
     assert fid["d4c_voiced_allband_ap"] <= 0.2
     cls = fid["copy_synthesis_mcd_by_class"]
     floor = fid["unvoiced_coanalysis_floor_db"]
-    assert cls["voiced_steady"] <= 0.5, cls
+    assert cls["voiced_steady"] <= 0.4, cls
     assert cls["unvoiced_steady"] <= floor + 1.0, (cls, floor)
-    assert cls["vuv_boundary"] <= 2.5, cls
+    # boundary class gated against ITS intrinsic floor: the phase/noise
+    # co-render limit any non-phase-preserving vocoder faces (round-4
+    # measurement: floor 1.42, system 1.88 after the d4c transition-aware
+    # window clamp; the pre-clamp 2.06 would trip this gate)
+    bfloor = fid["vuv_boundary_corender_floor_db"]
+    assert cls["vuv_boundary"] <= 2.0, cls
+    assert cls["vuv_boundary"] <= bfloor + 0.55, (cls, bfloor)
 
 
 def test_checked_in_condition_rows_are_healthy():
