@@ -424,8 +424,12 @@ def test_fused_lstm_proj_layer_matches_unfused():
     bias = jnp.asarray(rs.randn(4 * H).astype(np.float32) * 0.1)
     lengths = jnp.asarray(np.array([21, 13, 5], np.int32))
 
-    for cd, fwd_tol, g_tol in (("float32", 0.0, 2e-5), ("bfloat16", 0.0,
-                                                        2e-2)):
+    # The in-kernel dot_general and the standalone matmul_cast may
+    # accumulate in different orders on the CPU (interpret-mode) backend,
+    # so "exact" here means within a few f32 ULPs (f32) / one bf16 ULP
+    # (bf16) of the output scale; on TPU both run the same MXU tiling.
+    for cd, fwd_tol, g_tol in (("float32", 5e-7, 2e-5), ("bfloat16", 1 / 256,
+                                                         2e-2)):
         for reverse in (False, True):
             def ref_path(x, wi, wh, b):
                 xp = matmul_cast(x, wi, cd)
@@ -440,7 +444,9 @@ def test_fused_lstm_proj_layer_matches_unfused():
 
             y_ref = np.asarray(ref_path(x, w_ih, w_hh, bias), np.float32)
             y_new = np.asarray(new_path(x, w_ih, w_hh, bias), np.float32)
-            assert np.abs(y_ref - y_new).max() <= fwd_tol, (cd, reverse)
+            y_scale = max(np.abs(y_ref).max(), 1.0)
+            assert np.abs(y_ref - y_new).max() <= fwd_tol * y_scale, \
+                (cd, reverse, np.abs(y_ref - y_new).max())
 
             gr = jax.grad(
                 lambda *a: jnp.sum(ref_path(*a).astype(jnp.float32) ** 2),
