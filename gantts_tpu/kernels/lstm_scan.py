@@ -45,7 +45,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gantts_tpu.kernels.sru_scan import (
-    _MAX_CHUNK,
+    _FUSED_BUDGET,
+    _FUSED_MAX_CHUNK,
+    _FUSED_VMEM_LIMIT,
     _PROJ_VMEM_LIMIT,
     _VMEM_BUDGET,
     _on_tpu,
@@ -56,7 +58,10 @@ from gantts_tpu.kernels.sru_scan import (
 
 
 def _lstm_chunk(B, H, per_h_bytes, resident_bytes):
-    return _lstm_chunk_impl(per_h_bytes, B, H, resident_bytes)
+    # sized against the raised scoped-vmem cap (see sru_scan._FUSED_BUDGET)
+    return _lstm_chunk_impl(per_h_bytes, B, H, resident_bytes,
+                            budget=_FUSED_BUDGET,
+                            max_chunk=_FUSED_MAX_CHUNK)
 
 
 def kernel_feasible(B, H, compute_dtype):
@@ -254,6 +259,8 @@ def _fwd_call(xp, whh, b2d, len_bc, rev):
                    jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(xp, whh_c, b2d, len_bc)
 
@@ -292,6 +299,8 @@ def _bwd_call(xp, whh, b2d, len_bc, y, c, gh, layer_rev):
                    jax.ShapeDtypeStruct(b2d.shape, jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(xp, whh_c, b2d, len_bc, y, y, c, c, gh)
     return dxp, dwhh, db[0]
@@ -353,7 +362,7 @@ def _plstm_chunk(B, D, H, io_dtype):
     s = jnp.dtype(io_dtype).itemsize
     resident = (D + H) * 4 * H * s + 2 * B * H * 4
     per_t = B * 2 * (D * s + 4 * H * s + H * s + H * 4)
-    chunk = _MAX_CHUNK
+    chunk = _FUSED_MAX_CHUNK
     while chunk > 1 and chunk * per_t + resident > _PROJ_BUDGET:
         chunk //= 2
     return chunk
@@ -476,7 +485,7 @@ def fused_lstm_proj_layer(x, w_ih, w_hh, bias, lengths, reverse=False,
     Bp = _round_up(max(B, 1), 8)
     Dp = _round_up(max(D, 1), 128)
     Hp = _round_up(max(H, 1), 128)
-    Tp = _round_up(max(T, 1), _MAX_CHUNK)
+    Tp = _round_up(max(T, 1), _FUSED_MAX_CHUNK)
     if Hp != H:
         w_ih = jnp.pad(w_ih.reshape(D, 4, H),
                        ((0, 0), (0, 0), (0, Hp - H))).reshape(D, 4 * Hp)
@@ -513,7 +522,7 @@ def fused_lstm_layer(xp, w_hh, bias, lengths, reverse=False):
     H = H4 // 4
     Bp = _round_up(max(B, 1), 8)
     Hp = _round_up(max(H, 1), 128)
-    Tp = _round_up(max(T, 1), _MAX_CHUNK)
+    Tp = _round_up(max(T, 1), _FUSED_MAX_CHUNK)
     if Hp != H:
         xp = jnp.pad(xp.reshape(T, B, 4, H),
                      ((0, 0), (0, 0), (0, 0), (0, Hp - H))

@@ -49,9 +49,19 @@ def _round_up(n, m):
 _MAX_CHUNK = 16  # timesteps per grid step (amortizes grid/pipeline overhead)
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB VMEM limit
 
+# The FUSED layer kernels run with an explicitly raised Mosaic scoped-vmem
+# cap (the v5e has 128 MB of VMEM; the default ~16 MB cap is far below the
+# hardware — probed in round 4), so they size their chunk against a much
+# larger budget.  Fewer, bigger grid steps mean fewer pipeline stalls
+# between chunks of the sequential scan (measured on the v5e this round).
+_FUSED_MAX_CHUNK = 16
+_FUSED_BUDGET = 48 * 1024 * 1024
+_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
 
-def fit_chunk(per_h_bytes, B, H, resident_bytes=0):
-    """Largest power-of-two timestep chunk (<= _MAX_CHUNK) that fits VMEM.
+
+def fit_chunk(per_h_bytes, B, H, resident_bytes=0, budget=_VMEM_BUDGET,
+              max_chunk=_MAX_CHUNK):
+    """Largest power-of-two timestep chunk (<= max_chunk) that fits VMEM.
 
     Per grid step the pipeline double-buffers (x2) every (chunk, B, H*k)
     block — ``per_h_bytes`` sums the bytes of all H-wide lanes held per
@@ -60,9 +70,9 @@ def fit_chunk(per_h_bytes, B, H, resident_bytes=0):
     Mosaic scoped-vmem OOM (seen at B=96, H=512, chunk=16), so every
     kernel in this package sizes its chunk through this one budget.
     """
-    chunk = _MAX_CHUNK
+    chunk = max_chunk
     while chunk > 1 and (2 * chunk * B * H * per_h_bytes + resident_bytes
-                         > _VMEM_BUDGET):
+                         > budget):
         chunk //= 2
     return chunk
 
@@ -345,7 +355,8 @@ def _fused_per_h(u_dtype):
 
 
 def _fused_chunk(B, H, per_h_bytes):
-    return fit_chunk(per_h_bytes, B, H)
+    return fit_chunk(per_h_bytes, B, H, budget=_FUSED_BUDGET,
+                     max_chunk=_FUSED_MAX_CHUNK)
 
 
 def _fused_fwd_call(u, b2d, len_bc, rev, use_relu):
@@ -369,6 +380,8 @@ def _fused_fwd_call(u, b2d, len_bc, rev, use_relu):
         out_specs=[h_spec, h_spec, cb_spec],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(u, b2d, len_bc)
 
@@ -397,6 +410,8 @@ def _fused_bwd_call(u, b2d, len_bc, c, cb, gh, rev_layer, use_relu):
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((8, 4 * H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
     )(u, b2d, len_bc, c, cb, gh)
     return du, db[0]
@@ -460,7 +475,6 @@ _fused_sru_padded.defvjp(_fused_sru_fwd, _fused_sru_bwd)
 # f32, stores u as bf16; the recurrence state stays f32; dW is f32.
 # ===========================================================================
 
-_PROJ_MAX_CHUNK = 32
 _PROJ_BUDGET = 64 * 1024 * 1024
 _PROJ_VMEM_LIMIT = 100 * 1024 * 1024
 
@@ -655,7 +669,7 @@ def fused_sru_proj_layer(x, w, lengths, bias4=None, reverse=False,
     Bp = _round_up(max(B, 1), 8)
     Dp = _round_up(max(D, 1), 128)
     Hp = _round_up(max(H, 1), 128)
-    Tp = _round_up(max(T, 1), _PROJ_MAX_CHUNK)
+    Tp = _round_up(max(T, 1), _FUSED_MAX_CHUNK)
     if Hp != H:
         w = jnp.pad(w.reshape(D, 4, H), ((0, 0), (0, 0), (0, Hp - H))
                     ).reshape(D, 4 * Hp)
@@ -692,7 +706,7 @@ def fused_sru_layer(u, lengths, bias4=None, reverse=False, use_relu=0):
     Bp = _round_up(max(B, 1), 8)
     Hp = _round_up(max(H, 1), 128)
     # T padded to the MAX chunk so every power-of-two chunk choice divides it
-    Tp = _round_up(max(T, 1), _MAX_CHUNK)
+    Tp = _round_up(max(T, 1), _FUSED_MAX_CHUNK)
     if Hp != H:
         u = u.reshape(T, B, 4, H)
         u = jnp.pad(u, ((0, 0), (0, 0), (0, 0), (0, Hp - H)))

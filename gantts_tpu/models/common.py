@@ -119,3 +119,31 @@ def default_lengths(x, lengths):
         B, T = x.shape[0], x.shape[1]
         return jnp.full((B,), T, dtype=jnp.int32)
     return lengths.astype(jnp.int32)
+
+
+def pad_rnn_stack(x_tm, lengths):
+    """Pad a time-major RNN-stack input ONCE for the whole stack.
+
+    Every fused-kernel wrapper (kernels/{sru,lstm}_scan.py) pads its inputs
+    to TPU tiles (B to 8, T to the max scan chunk) and slices its output
+    back — a pad + slice copy pair over HBM at EVERY layer boundary.
+    Padding once here makes all of those per-layer pads/slices no-ops
+    (measured as `copy` ops in the round-4 device trace).  D is NOT padded:
+    the SRU's highway parameterization switches on the raw ``D == H``
+    (models/sru.py), so the feature dim must reach the layer untouched.
+
+    Padded batch rows carry length 0, so every masked layer emits zeros for
+    them; padded time steps lie past every row's length.  Returns the
+    padded (T, B, D) array, the padded lengths, and the original (T, B) to
+    slice the stack output back.
+    """
+    from gantts_tpu.kernels.sru_scan import _FUSED_MAX_CHUNK
+
+    T, B, D = x_tm.shape
+    Tp = -(-T // _FUSED_MAX_CHUNK) * _FUSED_MAX_CHUNK
+    Bp = -(-B // 8) * 8
+    lengths = jnp.asarray(lengths, jnp.int32)
+    if (Tp, Bp) != (T, B):
+        x_tm = jnp.pad(x_tm, ((0, Tp - T), (0, Bp - B), (0, 0)))
+        lengths = jnp.pad(lengths, (0, Bp - B))
+    return x_tm, lengths, (T, B)

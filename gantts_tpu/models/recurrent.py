@@ -26,6 +26,7 @@ import flax.linen as nn
 from gantts_tpu.models.common import (
     default_lengths,
     matmul_cast,
+    pad_rnn_stack,
     torch_uniform_init,
 )
 
@@ -143,6 +144,9 @@ class StackedLSTM(nn.Module):
         # the per-layer swaps the batch-major stack needed showed up as
         # `copy` ops in the round-3 device trace).
         out = jnp.swapaxes(x, 0, 1)
+        # Tile-pad ONCE for the whole stack (pad_rnn_stack) so the fused
+        # kernels' per-layer pad/slice copies are no-ops.
+        out, lengths, (T0, B0) = pad_rnn_stack(out, lengths)
         for layer in range(self.num_layers):
             fwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
                             time_major=True,
@@ -159,4 +163,4 @@ class StackedLSTM(nn.Module):
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return jnp.swapaxes(out, 0, 1)
+        return jnp.swapaxes(out[:T0, :B0], 0, 1)

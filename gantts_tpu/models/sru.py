@@ -43,6 +43,7 @@ import flax.linen as nn
 from gantts_tpu.models.common import (
     default_lengths,
     matmul_cast,
+    pad_rnn_stack,
     torch_uniform_init,
 )
 
@@ -169,7 +170,10 @@ class SRU(nn.Module):
     def __call__(self, x, lengths=None, deterministic=True):
         lengths = default_lengths(x, lengths)
         # Time-major through the whole stack: one transpose in, one out.
+        # Tile-pad ONCE for the whole stack (pad_rnn_stack) so the fused
+        # kernels' per-layer pad/slice copies are no-ops.
         out = jnp.swapaxes(x, 0, 1)
+        out, lengths, (T0, B0) = pad_rnn_stack(out, lengths)
         for layer in range(self.num_layers):
             inp = out
             if self.rnn_dropout > 0:
@@ -185,4 +189,4 @@ class SRU(nn.Module):
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return jnp.swapaxes(out, 0, 1)
+        return jnp.swapaxes(out[:T0, :B0], 0, 1)
