@@ -35,6 +35,11 @@ PYTHON=${PYTHON:-python}
 SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
 TRAIN="$PYTHON $SCRIPT_DIR/train.py"
 
+# Stage-5 adversarial weight (the reference hardcodes 1.0; the dynamic
+# weight w_d * E(mge)/E(adv) is scaled by it — tools/tts_gan_sweep.py
+# measures the sensible range on the dossier corpus)
+W_D=${W_D:-1.0}
+
 # Stage flags (mirror reference train_gan.sh:33-38)
 RUN_BASELINE=${RUN_BASELINE:-1}
 RUN_GENERATOR_WARMUP=${RUN_GENERATOR_WARMUP:-1}
@@ -99,7 +104,7 @@ if [ "$RUN_ADVERSARIAL" == 1 ]; then
         --checkpoint-d=$(ckpt $CHECKPOINT_DIR/gan $DISCRIMINATOR_WARMUP_EPOCH Discriminator) \
         --log-event-path=$CHECKPOINT_DIR/gan/log \
         --reset_optimizers --restart_epoch=$GENERATOR_WARMUP_EPOCH \
-        --w_d=1.0 $CHECKPOINT_R \
+        --w_d=$W_D $CHECKPOINT_R \
         $INPUTS_DIR $OUTPUTS_DIR
 fi
 
