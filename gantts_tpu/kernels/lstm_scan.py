@@ -15,11 +15,20 @@ This kernel runs the whole recurrence as ONE Pallas grid over time:
     VMEM scratch across grid steps;
   * masking (torch pack_padded semantics: carries freeze past each row's
     length, outputs zero) is computed in-kernel from the length vector;
-  * the backward pass is classic BPTT, fused the same way: gates are
-    RECOMPUTED from xp and the stored trajectories (one extra MXU matmul
-    per step — cheaper than storing the 4H gate values), dW_hh and the
-    bias gradient accumulate directly into VMEM-resident f32 output blocks
-    across the whole grid, and the reverse-time adjoint carries (Dh, Dc)
+  * the backward pass is classic BPTT, fused the same way.  The forward
+    stores the four ACTIVATED gate values (one (T, B, 4H) I/O-dtype
+    array), so the backward's per-step work is pure VPU gate math plus
+    the single irreducibly-sequential MXU matmul dh = dgates @ W_hh^T.
+    At the small batches this family ships with (B=20 -> 24 padded rows
+    of a 128-row MXU tile) every per-step matmul runs ~20% utilized, so
+    round 4 moved the OTHER two matmuls the old backward ran per step
+    out of the kernel: the gate recompute (h_prev @ W_hh) is replaced by
+    the stored gates, and dW_hh = sum_t h_{t-1}^T dgates_t becomes ONE
+    near-peak XLA matmul over the time-shifted stored outputs.  tanh(c_t)
+    is recovered EXACTLY from the stored f32 c trajectory (for masked
+    frames the adjoint is zero, so the carried value is never consumed);
+    the bias gradient still accumulates into a VMEM-resident f32 block
+    (cheap VPU reduction), and the reverse-time adjoint carries (Dh, Dc)
     stay in scratch;
   * direction is handled by index maps (reverse traversal), so the
     bidirectional stack needs NO time-flip materialization.
@@ -66,7 +75,7 @@ def _lstm_chunk(B, H, per_h_bytes, resident_bytes):
 
 def kernel_feasible(B, H, compute_dtype):
     """True if the fused kernel's RESIDENT working set (W_hh in the compute
-    dtype, the f32 dW_hh/db output blocks, the four carries) fits the VMEM
+    dtype, the f32 db output block, the four carries) fits the VMEM
     budget with at least a chunk-1 pipeline.  When it does not (very large
     hidden_dim x batch), callers must use the lax.scan fallback — bottoming
     out at chunk=1 would otherwise compile into an opaque Mosaic
@@ -74,8 +83,9 @@ def kernel_feasible(B, H, compute_dtype):
     Bp = _round_up(max(B, 1), 8)
     Hp = _round_up(max(H, 1), 128)
     sw = jnp.dtype(compute_dtype).itemsize
-    resident = Hp * 4 * Hp * (sw + 4) + 8 * 4 * Hp * 4 + 4 * Bp * Hp * 4
-    per_h = 4 * sw + 4 * sw + 2 * sw + 2 * 4 + 4  # bwd pipeline, chunk 1
+    resident = Hp * 4 * Hp * sw + 8 * 4 * Hp * 4 + 4 * Bp * Hp * 4
+    # bwd pipeline per H lane, chunk 1: g4 + dgates out + gh + c/cp f32
+    per_h = 4 * sw + 4 * sw + sw + 2 * 4
     return 2 * 1 * Bp * Hp * per_h + resident <= _VMEM_BUDGET
 
 
@@ -94,9 +104,18 @@ def _gates(xp_t, b_row, h_prev, whh):
     return i, f, g, o
 
 
+def _store_gates(g4_ref, j, ig, fg, gg, og):
+    H = ig.shape[-1]
+    od = g4_ref.dtype
+    g4_ref[j, :, 0:H] = ig.astype(od)
+    g4_ref[j, :, H:2 * H] = fg.astype(od)
+    g4_ref[j, :, 2 * H:3 * H] = gg.astype(od)
+    g4_ref[j, :, 3 * H:4 * H] = og.astype(od)
+
+
 def _lstm_fwd_kernel(rev, chunk, n_chunks,
                      xp_ref, whh_ref, b_ref, len_ref,
-                     y_ref, c_ref, h_carry, c_carry):
+                     y_ref, c_ref, g4_ref, h_carry, c_carry):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -122,6 +141,7 @@ def _lstm_fwd_kernel(rev, chunk, n_chunks,
         c = m * c_new + (1.0 - m) * c
         y_ref[j] = (h_new * m).astype(y_ref.dtype)
         c_ref[j] = c                  # true carry, f32
+        _store_gates(g4_ref, j, ig, fg, gg, og)
         return h, c
 
     h_carry[...], c_carry[...] = jax.lax.fori_loop(
@@ -129,13 +149,17 @@ def _lstm_fwd_kernel(rev, chunk, n_chunks,
 
 
 def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
-                     xp_ref, whh_ref, b_ref, len_ref,
-                     y_ref, yp_ref, c_ref, cp_ref, gh_ref,
-                     dxp_ref, dwhh_ref, db_ref,
+                     g4_ref, whh_ref, len_ref,
+                     c_ref, cp_ref, gh_ref,
+                     dxp_ref, db_ref,
                      dh_carry, dc_carry):
-    # Traverses the OPPOSITE direction of the forward pass.  yp/cp are the
-    # same y/c arrays viewed one block earlier in FORWARD-traversal order,
-    # for the chunk-boundary h_{t-1}/c_{t-1}.
+    # Traverses the OPPOSITE direction of the forward pass.  cp is the
+    # same c array viewed one block earlier in FORWARD-traversal order,
+    # for the chunk-boundary c_{t-1}.  Gates come from the forward's
+    # stored g4 block; tanh(c_t) is recovered from the stored f32 carry
+    # (exact for every unmasked frame — masked frames have zero adjoint).
+    # The only per-step MXU work left is the sequential dh matmul; dW_hh
+    # is reconstructed OUTSIDE from dxp and the time-shifted y.
     rev = not layer_rev
     t = pl.program_id(0)
 
@@ -143,18 +167,16 @@ def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
     def _():
         dh_carry[...] = jnp.zeros_like(dh_carry)
         dc_carry[...] = jnp.zeros_like(dc_carry)
-        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
     lv = len_ref[...]
     f32 = jnp.float32
     block = (n_chunks - 1 - t) if rev else t
     whh = whh_ref[...]
-    b_row = b_ref[0].astype(f32)
     H = dh_carry.shape[-1]
     # forward-traversal-previous element: storage index t-1 for a forward
     # layer, t+1 for a reverse layer; at the traversal start it is zeros
-    edge = 0 if layer_rev else chunk - 1  # its in-block index in yp/cp
+    edge = 0 if layer_rev else chunk - 1  # its in-block index in cp
 
     def body(i_loop, carry):
         dh, dc = carry                # f32 (B, H)
@@ -169,15 +191,16 @@ def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
             jp = j - 1
         in_chunk = jnp.logical_and(jp >= 0, jp < chunk)
         jc = jnp.clip(jp, 0, chunk - 1)
-        h_prev = jnp.where(in_chunk, y_ref[jc].astype(f32),
-                           yp_ref[edge].astype(f32))
         c_prev = jnp.where(in_chunk, c_ref[jc], cp_ref[edge])
-        h_prev = jnp.where(first, 0.0, h_prev)
         c_prev = jnp.where(first, 0.0, c_prev)
 
-        ig, fg, gg, og = _gates(xp_ref[j], b_row, h_prev, whh)
-        c_new = fg * c_prev + ig * gg
-        tc = jnp.tanh(c_new)
+        ig = g4_ref[j, :, 0:H].astype(f32)
+        fg = g4_ref[j, :, H:2 * H].astype(f32)
+        gg = g4_ref[j, :, 2 * H:3 * H].astype(f32)
+        og = g4_ref[j, :, 3 * H:4 * H].astype(f32)
+        # c_ref[j] == c_new for every unmasked frame (mask freezes the
+        # carry only PAST a row's length, where m zeroes the adjoint)
+        tc = jnp.tanh(c_ref[j])
 
         da = m * (dh + gh_ref[j].astype(f32))
         do_ = da * tc
@@ -189,18 +212,9 @@ def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
         dgf = df * fg * (1.0 - fg)
         dgg = dg * (1.0 - gg * gg)
         dgo = do_ * og * (1.0 - og)
-        od = dxp_ref.dtype
-        dxp_ref[j, :, 0:H] = dgi.astype(od)
-        dxp_ref[j, :, H:2 * H] = dgf.astype(od)
-        dxp_ref[j, :, 2 * H:3 * H] = dgg.astype(od)
-        dxp_ref[j, :, 3 * H:4 * H] = dgo.astype(od)
+        _store_gates(dxp_ref, j, dgi, dgf, dgg, dgo)
         dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
         db_ref[0, :] += jnp.sum(dgates, axis=0)
-        # dW_hh += h_{t-1}^T @ dgates, accumulated in the resident f32
-        # output block (zero extra scratch)
-        dwhh_ref[...] += jax.lax.dot_general(
-            h_prev.astype(whh.dtype), dgates.astype(whh.dtype),
-            (((0,), (0,)), ((), ())), preferred_element_type=f32)
         dh = (1.0 - m) * dh + jax.lax.dot_general(
             dgates.astype(whh.dtype), whh,
             (((1,), (1,)), ((), ())), preferred_element_type=f32)
@@ -243,7 +257,8 @@ def _fwd_call(xp, whh, b2d, len_bc, rev):
     su = jnp.dtype(xp.dtype).itemsize
     sw = jnp.dtype(whh_c.dtype).itemsize
     resident = H * 4 * H * sw + 2 * B * H * 4
-    chunk = _lstm_chunk(B, H, 4 * su + su + 4, resident)
+    # pipeline blocks per timestep: xp in, y out, c out (f32), g4 out
+    chunk = _lstm_chunk(B, H, 4 * su + su + 4 + 4 * su, resident)
     if T % chunk != 0:  # holds for power-of-two chunks from fit_chunk;
         # an if/raise (not assert) so the invariant survives python -O
         raise ValueError(f"T={T} not divisible by chunk={chunk}")
@@ -254,9 +269,10 @@ def _fwd_call(xp, whh, b2d, len_bc, rev):
         grid=(n_chunks,),
         in_specs=[xp_spec, _const_spec(whh_c.shape), _const_spec(b2d.shape),
                   _const_spec(len_bc.shape)],
-        out_specs=[h_spec, h_spec],
+        out_specs=[h_spec, h_spec, xp_spec],
         out_shape=[jax.ShapeDtypeStruct((T, B, H), xp.dtype),
-                   jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
+                   jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+                   jax.ShapeDtypeStruct((T, B, 4 * H), xp.dtype)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -265,61 +281,77 @@ def _fwd_call(xp, whh, b2d, len_bc, rev):
     )(xp, whh_c, b2d, len_bc)
 
 
-def _bwd_call(xp, whh, b2d, len_bc, y, c, gh, layer_rev):
-    T, B, H4 = xp.shape
-    H = H4 // 4
-    whh_c = _cast_weights(whh, xp.dtype)
-    su = jnp.dtype(xp.dtype).itemsize
+def _shifted_dwhh(y, dxp, layer_rev):
+    """dW_hh = sum_t h_{t-1}^T @ dgates_t as ONE near-peak XLA matmul.
+
+    h_{t-1} in FORWARD-traversal order is y[t-1] (zeros at the traversal
+    start) for a forward layer and y[t+1] for a reverse layer; the
+    boundary term is zero, so the shift drops one (y, dgates) pair
+    instead of materializing a zero row.  Masked frames contribute
+    nothing (their dgates rows are zeroed in-kernel)."""
+    T, B, H = y.shape
+    if layer_rev:
+        h_prev, dg = y[1:], dxp[:T - 1]
+    else:
+        h_prev, dg = y[:T - 1], dxp[1:]
+    return jnp.matmul(h_prev.reshape(-1, H).T,
+                      dg.reshape((T - 1) * B, -1),
+                      preferred_element_type=jnp.float32)
+
+
+def _bwd_call(whh, len_bc, y, c, g4, gh, layer_rev):
+    T, B, H = y.shape
+    whh_c = _cast_weights(whh, g4.dtype)
+    su = jnp.dtype(g4.dtype).itemsize
     sw = jnp.dtype(whh_c.dtype).itemsize
     sg = jnp.dtype(gh.dtype).itemsize
-    # resident: whh + the f32 dwhh/db output blocks + the adjoint carries
-    resident = H * 4 * H * (sw + 4) + 8 * 4 * H * 4 + 2 * B * H * 4
-    # pipeline blocks per timestep: xp, dxp (4H each), y x2, c x2 (f32), gh
-    per_h = 4 * su + 4 * su + 2 * su + 2 * 4 + sg
+    # resident: whh + the f32 db output block + the adjoint carries
+    resident = H * 4 * H * sw + 8 * 4 * H * 4 + 2 * B * H * 4
+    # pipeline blocks per timestep: g4, dxp out (4H each), c x2 (f32), gh
+    per_h = 4 * su + 4 * su + 2 * 4 + sg
     chunk = _lstm_chunk(B, H, per_h, resident)
     if T % chunk != 0:  # holds for power-of-two chunks from fit_chunk;
         # an if/raise (not assert) so the invariant survives python -O
         raise ValueError(f"T={T} not divisible by chunk={chunk}")
     rev = not layer_rev  # traverse opposite to the forward pass
     xp_spec, h_spec, n_chunks = _specs(T, B, H, chunk, rev)
-    # boundary views: one block earlier in FORWARD-traversal order
+    # boundary view: one block earlier in FORWARD-traversal order
     shift = +1 if layer_rev else -1
     _, hp_spec, _ = _specs(T, B, H, chunk, rev, shift=shift)
     kern = partial(_lstm_bwd_kernel, layer_rev, chunk, n_chunks)
-    dxp, dwhh, db = pl.pallas_call(
+    dxp, db = pl.pallas_call(
         kern,
         grid=(n_chunks,),
-        in_specs=[xp_spec, _const_spec(whh_c.shape), _const_spec(b2d.shape),
+        in_specs=[xp_spec, _const_spec(whh_c.shape),
                   _const_spec(len_bc.shape),
-                  h_spec, hp_spec, h_spec, hp_spec, h_spec],
-        out_specs=[xp_spec, _const_spec(whh_c.shape),
-                   _const_spec(b2d.shape)],
-        out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), xp.dtype),
-                   jax.ShapeDtypeStruct(whh_c.shape, jnp.float32),
-                   jax.ShapeDtypeStruct(b2d.shape, jnp.float32)],
+                  h_spec, hp_spec, h_spec],
+        out_specs=[xp_spec, _const_spec((8, 4 * H))],
+        out_shape=[jax.ShapeDtypeStruct((T, B, 4 * H), g4.dtype),
+                   jax.ShapeDtypeStruct((8, 4 * H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
-    )(xp, whh_c, b2d, len_bc, y, y, c, c, gh)
+    )(g4, whh_c, len_bc, c, c, gh)
+    dwhh = _shifted_dwhh(y, dxp, layer_rev)
     return dxp, dwhh, db[0]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _fused_lstm_padded(xp, whh, b2d, len_bc, rev):
-    y, _ = _fwd_call(xp, whh, b2d, len_bc, rev)
+    y, _, _ = _fwd_call(xp, whh, b2d, len_bc, rev)
     return y
 
 
 def _fused_lstm_fwd(xp, whh, b2d, len_bc, rev):
-    y, c = _fwd_call(xp, whh, b2d, len_bc, rev)
-    return y, (xp, whh, b2d, len_bc, y, c)
+    y, c, g4 = _fwd_call(xp, whh, b2d, len_bc, rev)
+    return y, (whh, b2d, len_bc, y, c, g4)
 
 
 def _fused_lstm_bwd(rev, res, gh):
-    xp, whh, b2d, len_bc, y, c = res
-    dxp, dwhh, db = _bwd_call(xp, whh, b2d, len_bc, y, c, gh, rev)
+    whh, b2d, len_bc, y, c, g4 = res
+    dxp, dwhh, db = _bwd_call(whh, len_bc, y, c, g4, gh, rev)
     db2d = jnp.zeros_like(b2d).at[0].set(db.astype(b2d.dtype))
     return dxp, dwhh.astype(whh.dtype), db2d, jnp.zeros_like(len_bc)
 
@@ -331,11 +363,12 @@ _fused_lstm_padded.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
 # Projection-fused LSTM FORWARD (round 4): the input projection
 # xp = x @ W_ih runs INSIDE the kernel — W_ih joins W_hh as a VMEM
 # resident, each grid step projects its (chunk, B, D) x-block on the MXU
-# straight into the xp OUTPUT block (the backward's residual), and the
-# recurrence consumes it in place.  The backward stays split exactly like
-# the SRU's (sru_scan.py section comment): the pinned BPTT kernel produces
-# dxp/dW_hh/db, then dx = dxp @ W_ih^T and dW_ih = x^T @ dxp run as two
-# big near-peak XLA matmuls.
+# into a VMEM scratch block, and the recurrence consumes it in place
+# (the backward consumes the stored GATES, so xp never reaches HBM).
+# The backward stays split exactly like the SRU's (sru_scan.py section
+# comment): the pinned BPTT kernel produces dxp (= dgates)/db, then
+# dx = dxp @ W_ih^T, dW_ih = x^T @ dxp, and dW_hh = shifted-y^T @ dxp
+# run as three big near-peak XLA matmuls.
 # ===========================================================================
 
 _PROJ_BUDGET = 48 * 1024 * 1024
@@ -354,14 +387,16 @@ def lstm_proj_feasible(B, D, H, compute_dtype):
         else jnp.float32
     s = jnp.dtype(io).itemsize
     resident = (Dp + Hp) * 4 * Hp * s + 2 * Bp * Hp * 4
-    per_t = Bp * 2 * (Dp * s + 4 * Hp * s + Hp * s + Hp * 4)
+    per_t = Bp * 2 * (Dp * s + Hp * s + 4 * Hp * s + Hp * 4) \
+        + Bp * 4 * Hp * s
     return per_t + resident <= _PROJ_BUDGET
 
 
 def _plstm_chunk(B, D, H, io_dtype):
     s = jnp.dtype(io_dtype).itemsize
     resident = (D + H) * 4 * H * s + 2 * B * H * 4
-    per_t = B * 2 * (D * s + 4 * H * s + H * s + H * 4)
+    # double-buffered pipeline lanes (x, y, g4, c) + the xp VMEM scratch
+    per_t = B * 2 * (D * s + H * s + 4 * H * s + H * 4) + B * 4 * H * s
     chunk = _FUSED_MAX_CHUNK
     while chunk > 1 and chunk * per_t + resident > _PROJ_BUDGET:
         chunk //= 2
@@ -370,9 +405,11 @@ def _plstm_chunk(B, D, H, io_dtype):
 
 def _plstm_fwd_kernel(rev, chunk, n_chunks,
                       x_ref, wih_ref, whh_ref, b_ref, len_ref,
-                      y_ref, xp_ref, c_ref, h_carry, c_carry):
+                      y_ref, c_ref, g4_ref, xp_scr, h_carry, c_carry):
     # Identical recurrence math to _lstm_fwd_kernel (pinned in
-    # tests/test_kernels.py) with xp coming from the in-kernel projection.
+    # tests/test_kernels.py) with xp coming from the in-kernel projection
+    # (VMEM scratch — the backward consumes the stored gates, so the
+    # pre-activations never reach HBM).
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -380,7 +417,7 @@ def _plstm_fwd_kernel(rev, chunk, n_chunks,
         h_carry[...] = jnp.zeros_like(h_carry)
         c_carry[...] = jnp.zeros_like(c_carry)
 
-    xp_ref[...] = _proj_u(x_ref, wih_ref, xp_ref.dtype)
+    xp_scr[...] = _proj_u(x_ref, wih_ref, xp_scr.dtype)
     lv = len_ref[...]
     f32 = jnp.float32
     block = (n_chunks - 1 - t) if rev else t
@@ -392,13 +429,14 @@ def _plstm_fwd_kernel(rev, chunk, n_chunks,
         j = (chunk - 1 - i_loop) if rev else i_loop
         s = block * chunk + j
         m = (s < lv).astype(f32)
-        ig, fg, gg, og = _gates(xp_ref[j], b_row, h, whh)
+        ig, fg, gg, og = _gates(xp_scr[j], b_row, h, whh)
         c_new = fg * c + ig * gg
         h_new = og * jnp.tanh(c_new)
         h = m * h_new + (1.0 - m) * h
         c = m * c_new + (1.0 - m) * c
         y_ref[j] = (h_new * m).astype(y_ref.dtype)
         c_ref[j] = c
+        _store_gates(g4_ref, j, ig, fg, gg, og)
         return h, c
 
     h_carry[...], c_carry[...] = jax.lax.fori_loop(
@@ -424,11 +462,12 @@ def _plstm_fwd_call(x, w_ih, w_hh, b2d, len_bc, rev):
         grid=(n_chunks,),
         in_specs=[x_spec, _const_spec(wih_c.shape), _const_spec(whh_c.shape),
                   _const_spec(b2d.shape), _const_spec(len_bc.shape)],
-        out_specs=[h_spec, xp_spec, h_spec],
+        out_specs=[h_spec, h_spec, xp_spec],
         out_shape=[jax.ShapeDtypeStruct((T, B, H), x.dtype),
-                   jax.ShapeDtypeStruct((T, B, 4 * H), x.dtype),
-                   jax.ShapeDtypeStruct((T, B, H), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                   jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+                   jax.ShapeDtypeStruct((T, B, 4 * H), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((chunk, B, 4 * H), x.dtype),
+                        pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_PROJ_VMEM_LIMIT),
@@ -443,13 +482,13 @@ def _plstm_padded(x, w_ih, w_hh, b2d, len_bc, rev):
 
 
 def _plstm_fwd(x, w_ih, w_hh, b2d, len_bc, rev):
-    y, xp, c = _plstm_fwd_call(x, w_ih, w_hh, b2d, len_bc, rev)
-    return y, (x, w_ih, w_hh, b2d, len_bc, xp, y, c)
+    y, c, g4 = _plstm_fwd_call(x, w_ih, w_hh, b2d, len_bc, rev)
+    return y, (x, w_ih, w_hh, b2d, len_bc, y, c, g4)
 
 
 def _plstm_bwd(rev, res, gh):
-    x, w_ih, w_hh, b2d, len_bc, xp, y, c = res
-    dxp, dwhh, db = _bwd_call(xp, w_hh, b2d, len_bc, y, c, gh, rev)
+    x, w_ih, w_hh, b2d, len_bc, y, c, g4 = res
+    dxp, dwhh, db = _bwd_call(w_hh, len_bc, y, c, g4, gh, rev)
     wih_c = _cast_weights(w_ih, x.dtype)
     T, B, D = x.shape
     dxp2 = dxp.reshape(T * B, -1)

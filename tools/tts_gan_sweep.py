@@ -64,6 +64,16 @@ POINTS = [
     ("lr1e-3", dict(w_d=1.0, d_warmup=4, lr=0.001)),
     ("wd0.3_lr3e-3", dict(w_d=0.3, d_warmup=4, lr=0.003)),
     ("long_adv", dict(w_d=1.0, d_warmup=4, nepoch=60)),
+    # Asymmetric D learning rate (G stays at the bundle default): on the
+    # 100-utterance dossier corpus the D overfits within a few epochs and
+    # its gradients push G into hallucinated hi-band texture (every
+    # symmetric point above trips the MCD-blowup bound); slowing only D
+    # is the classic stabilizer (TTTS/GAN folklore; Heusel 2017 TTUR
+    # argues the reverse ratio for big corpora, but the overfit direction
+    # here is D ahead of G).
+    ("dlr3e-3", dict(w_d=1.0, d_warmup=4, d_lr=0.003)),
+    ("dlr1e-3", dict(w_d=1.0, d_warmup=4, d_lr=0.001)),
+    ("wd0.3_dlr1e-3", dict(w_d=0.3, d_warmup=4, d_lr=0.001)),
 ]
 
 
@@ -203,15 +213,19 @@ def main():
             continue
         nepoch = knobs.get("nepoch", EPOCHS)
         d_warm = knobs["d_warmup"]
-        extra = ""
-        if "lr" in knobs:
-            # keep weight_decay at the bundle default: dropping it changes
-            # the optax chain length and the G-warmup checkpoint's
-            # optimizer state no longer deserializes
-            extra = (f"optimizer_g_params={{'lr': {knobs['lr']}, "
-                     f"'weight_decay': 1e-7}},"
-                     f"optimizer_d_params={{'lr': {knobs['lr']}, "
-                     f"'weight_decay': 1e-7}}")
+        # keep weight_decay at the bundle default: dropping it changes
+        # the optax chain length and the G-warmup checkpoint's
+        # optimizer state no longer deserializes
+        parts = []
+        g_lr = knobs.get("lr", knobs.get("g_lr"))
+        d_lr = knobs.get("lr", knobs.get("d_lr"))
+        if g_lr is not None:
+            parts.append(f"optimizer_g_params={{'lr': {g_lr}, "
+                         f"'weight_decay': 1e-7}}")
+        if d_lr is not None:
+            parts.append(f"optimizer_d_params={{'lr': {d_lr}, "
+                         f"'weight_decay': 1e-7}}")
+        extra = ",".join(parts)
         pdir = join(root, "ckpt", f"p_{name}", "gan")
         final_g = join(pdir, f"checkpoint_epoch{nepoch}_Generator.pth")
         if not exists(final_g):
