@@ -40,6 +40,14 @@ TRAIN="$PYTHON $SCRIPT_DIR/train.py"
 # measures the sensible range on the dossier corpus)
 W_D=${W_D:-1.0}
 
+# Extra hparams applied to the D-warmup + adversarial stages ONLY (3 and 5
+# — the GAN stages; the baseline/G-warmup stay at the bundle defaults).
+# Used to slow the discriminator on small corpora, e.g.
+# ADV_HPARAMS="optimizer_d_params={'lr': 0.001, 'weight_decay': 1e-7}"
+# (tools/tts_gan_sweep.py measures the effect).
+ADV_HPARAMS=${ADV_HPARAMS:-}
+adv_hp() { if [ -n "$ADV_HPARAMS" ]; then echo "$1,$ADV_HPARAMS"; else echo "$1"; fi; }
+
 # Stage flags (mirror reference train_gan.sh:33-38)
 RUN_BASELINE=${RUN_BASELINE:-1}
 RUN_GENERATOR_WARMUP=${RUN_GENERATOR_WARMUP:-1}
@@ -73,7 +81,7 @@ fi
 # 3. Discriminator warmup (G frozen, from the G-warmup checkpoint)
 if [ "$RUN_DISCRIMINATOR_WARMUP" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="$HPARAMS,nepoch=$DISCRIMINATOR_WARMUP_EPOCH" \
+        --hparams="$(adv_hp "$HPARAMS,nepoch=$DISCRIMINATOR_WARMUP_EPOCH")" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
         --log-event-path=$CHECKPOINT_DIR/gan/log \
@@ -84,7 +92,7 @@ fi
 # 4. Optional spoofing reference discriminator (vs the baseline G)
 if [ "$RUN_SPOOFING_MODEL" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="$HPARAMS,nepoch=$SPOOFING_TOTAL_EPOCH" \
+        --hparams="$(adv_hp "$HPARAMS,nepoch=$SPOOFING_TOTAL_EPOCH")" \
         --checkpoint-dir=$CHECKPOINT_DIR/spoofing_model \
         --log-event-path=$CHECKPOINT_DIR/spoofing_model/log \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/baseline $TOTAL_EPOCH Generator) \
@@ -98,7 +106,7 @@ fi
 # 5. Joint adversarial training from both warmup checkpoints
 if [ "$RUN_ADVERSARIAL" == 1 ]; then
     $TRAIN --hparams_name=$HPARAMS_NAME \
-        --hparams="$HPARAMS,nepoch=$TOTAL_EPOCH" \
+        --hparams="$(adv_hp "$HPARAMS,nepoch=$TOTAL_EPOCH")" \
         --checkpoint-dir=$CHECKPOINT_DIR/gan \
         --checkpoint-g=$(ckpt $CHECKPOINT_DIR/gan $GENERATOR_WARMUP_EPOCH Generator) \
         --checkpoint-d=$(ckpt $CHECKPOINT_DIR/gan $DISCRIMINATOR_WARMUP_EPOCH Discriminator) \
