@@ -119,6 +119,9 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
 
             adv_w = adv_weight(w_d, E_loss_mge, E_loss_adv) \
                 if update_g else 0.0
+            # constant within the phase: upload ONCE (on axon every
+            # host->device transfer is its own tunnel RPC)
+            adv_w_dev = jnp.float32(adv_w)
 
             for x, y, lengths in dataset_loaders[phase]:
                 B, T = x.shape[0], x.shape[1]
@@ -126,10 +129,11 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                 z = (noise_rs.rand(B, T, hp.generator_noise_dim)
                      .astype(np.float32) if cfg.add_noise else None)
                 x, y, lengths, z = trainer.put_batch(x, y, lengths, z)
-                rng, step_rng = jax.random.split(rng)
-                gstate, dstate, out = step(
+                # the step advances the dropout key in-program (no
+                # per-batch split dispatch)
+                gstate, dstate, out, rng = step(
                     gstate, dstate, ref_params, x, y, lengths,
-                    R, z, jnp.float32(adv_w), step_rng)
+                    R, z, adv_w_dev, rng)
                 acc.append(out)
 
             # One host sync per phase

@@ -287,6 +287,12 @@ class GanTrainer:
         # separate D-fake application) is unused since real+fake became one
         # batched D call under rng_dr.
         rng_g, rng_dr, _, rng_dg = jax.random.split(rng, 4)
+        # Successor key for the NEXT step, advanced in-program so callers
+        # never dispatch a separate split per batch (on axon every dispatch
+        # is a ~2 ms tunnel RPC; bench.py/train/loop.py chain this instead).
+        # fold_in (not a 5th split slot) keeps the in-step stream above
+        # byte-identical for a given input key.
+        rng_next = jax.random.fold_in(rng, 0x600D)
 
         # 1. generator forward, vjp captured for reuse
         (y_hat, y_hat_static), g_vjp = jax.vjp(
@@ -390,4 +396,4 @@ class GanTrainer:
             y_static, jax.lax.stop_gradient(y_hat_static),
             self.Y_mean, self.Y_std, mask, cfg))
 
-        return gstate, dstate, out
+        return gstate, dstate, out, rng_next

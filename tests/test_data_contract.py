@@ -125,7 +125,7 @@ def test_training_deterministic():
         rng = jax.random.PRNGKey(5)
         for i in range(3):
             rng, k = jax.random.split(rng)
-            gs, ds, out = step(gs, ds, None, x, y, l, R, None,
+            gs, ds, out, _ = step(gs, ds, None, x, y, l, R, None,
                                jnp.float32(1.0), k)
             outs.append(float(out["generator"]))
         return outs

@@ -49,7 +49,7 @@ def test_dp_step_matches_single_device():
 
     # single device
     tr1 = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
-    g1, d1, out1 = tr1.step_fn(True)(
+    g1, d1, out1, _ = tr1.step_fn(True)(
         gstate, dstate, None, jnp.asarray(x), jnp.asarray(y),
         jnp.asarray(lengths), jnp.asarray(R), None, adv_w, rng)
 
@@ -62,7 +62,7 @@ def test_dp_step_matches_single_device():
     ys = jax.device_put(y, batch_sharding(mesh))
     ls = jax.device_put(lengths, batch_sharding(mesh))
     Rs = jax.device_put(jnp.asarray(R), replicated(mesh))
-    g8, d8, out8 = tr8.step_fn(True)(
+    g8, d8, out8, _ = tr8.step_fn(True)(
         gstate, dstate, None, xs, ys, ls, Rs, None, adv_w, rng)
 
     for k in ("generator", "discriminator", "mge", "mse", "loss_adv", "mcd",
@@ -255,7 +255,7 @@ R = tr.put_replicated(np.asarray(unit_variance_mlpg_matrix(hp.windows, T),
                                  np.float32))
 step = tr.step_fn(True)
 for i in range(nsteps):
-    gstate, dstate, out = step(
+    gstate, dstate, out, _ = step(
         gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
         jax.random.PRNGKey(7 + step0 + i))
 if save_dir:
@@ -340,7 +340,7 @@ def _inprocess_reference(n_devices, nsteps):
         unit_variance_mlpg_matrix(hp.windows, T), np.float32))
     step = tr.step_fn(True)
     for i in range(nsteps):
-        gstate, dstate, out = step(
+        gstate, dstate, out, _ = step(
             gstate, dstate, None, xs, ys, ls, R, None, jnp.float32(0.7),
             jax.random.PRNGKey(7 + i))
     return {k: float(v) for k, v in jax.device_get(out).items()}
@@ -429,7 +429,7 @@ def test_dp_step_with_pallas_kernels_matches_fallback(monkeypatch):
         gstate, dstate = tr.place_states(gstate, dstate)
         xs, ys, ls, _ = tr.put_batch(x, y, lengths)
         Rr = tr.put_replicated(R)
-        _, _, out = tr.step_fn(True)(
+        _, _, out, _ = tr.step_fn(True)(
             gstate, dstate, None, xs, ys, ls, Rr, None,
             jnp.float32(0.7), jax.random.PRNGKey(7))
         return {k: float(v) for k, v in jax.device_get(out).items()}

@@ -317,7 +317,7 @@ def test_saturated_discriminator_step_is_finite(vc_corpus):
     x, y, lengths = next(iter(loaders["train"]))
     T = x.shape[1]
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T), jnp.float32)
-    g2, d2, out = step(gstate, dstate, None, jnp.asarray(x), jnp.asarray(y),
+    g2, d2, out, _ = step(gstate, dstate, None, jnp.asarray(x), jnp.asarray(y),
                        jnp.asarray(lengths), R, None, jnp.float32(1.0),
                        jax.random.PRNGKey(0))
     out = jax.device_get(out)

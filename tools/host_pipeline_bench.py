@@ -74,10 +74,9 @@ def main():
         out = None
         for x, y, lengths in loader:
             R = r_cache.get(x.shape[1]) if r_cache is not None else None
-            rng, k = jr.split(rng)
-            gstate, dstate, out = step(
+            gstate, dstate, out, rng = step(
                 gstate, dstate, None, jnp.asarray(x), jnp.asarray(y),
-                jnp.asarray(lengths), R, None, jnp.float32(1.0), k)
+                jnp.asarray(lengths), R, None, jnp.float32(1.0), rng)
             frames += float(lengths.sum())
         jax.block_until_ready(out)
         return time.perf_counter() - t0, frames

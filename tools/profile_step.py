@@ -135,12 +135,12 @@ def main():
     # tunnel); the device row comes from a trace like every component.
     gs, ds = gstate, dstate
     for _ in range(3):
-        gs, ds, out = full(gs, ds, rng)
+        gs, ds, out, rng = full(gs, ds, rng)
     _sync(out)
     t0 = time.perf_counter()
     N = 20
     for _ in range(N):
-        gs, ds, out = full(gs, ds, rng)
+        gs, ds, out, rng = full(gs, ds, rng)
     _sync(out)
     full_wall = (time.perf_counter() - t0) / N * 1e3
     rows.append(("full G+D step (wall)", full_wall))
@@ -151,7 +151,7 @@ def main():
     d = tempfile.mkdtemp(prefix="gantts_prof_full_")
     jax.profiler.start_trace(d)
     for _ in range(5):
-        gs, ds, out = full(gs, ds, rng)
+        gs, ds, out, rng = full(gs, ds, rng)
     _sync(out)
     jax.profiler.stop_trace()
     rows.append(("full G+D step (device)", jit_device_ms(d, 5)))
@@ -309,7 +309,7 @@ def main():
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
         for _ in range(3):
-            gs, ds, out = full(gs, ds, rng)
+            gs, ds, out, rng = full(gs, ds, rng)
         _sync(out)
         jax.profiler.stop_trace()
         print("trace ->", args.trace_dir)

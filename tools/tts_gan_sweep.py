@@ -74,6 +74,15 @@ POINTS = [
     ("dlr3e-3", dict(w_d=1.0, d_warmup=4, d_lr=0.003)),
     ("dlr1e-3", dict(w_d=1.0, d_warmup=4, d_lr=0.001)),
     ("wd0.3_dlr1e-3", dict(w_d=0.3, d_warmup=4, d_lr=0.001)),
+    # Measured (dlr3e-3): slowing ONLY D made both measures worse (GV
+    # 0.36, deficit ratio 0.95) — D overfit is not the binding failure.
+    # The blowup signature (train MCD tracks test MCD upward) says the
+    # stage-5 G updates themselves wreck the warmed-up solution: Adagrad's
+    # fresh accumulator makes the first steps +-lr/coordinate at lr=0.01.
+    # These points push the adversarial signal harder/longer once the lr
+    # shock is removed.
+    ("wd3_lr1e-3", dict(w_d=3.0, d_warmup=4, lr=0.001)),
+    ("lr1e-3_long", dict(w_d=1.0, d_warmup=4, lr=0.001, nepoch=60)),
 ]
 
 
