@@ -91,10 +91,18 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
                          np.ones(out_dim, np.float32))
 
     rs = np.random.RandomState(0)
-    x = jnp.asarray(rs.rand(batch, T, in_dim).astype(np.float32))
-    y = jnp.asarray(rs.rand(batch, T, out_dim).astype(np.float32))
-    lengths = jnp.asarray(
-        np.r_[rs.randint(T // 2, T, batch - 1), T].astype(np.int32))
+    # K training steps per dispatch — train.py's single-device default
+    # (trainer.multi_step_fn: lax.scan over the stacked batches,
+    # bit-identical to K sequential steps).  Donation serializes each
+    # dispatch RPC (~2-6 ms on the axon tunnel) against the device queue,
+    # so the unfused path measures tunnel latency as much as the chip.
+    K = 8
+    xh = rs.rand(batch, T, in_dim).astype(np.float32)
+    yh = rs.rand(batch, T, out_dim).astype(np.float32)
+    lh = np.r_[rs.randint(T // 2, T, batch - 1), T].astype(np.int32)
+    xs = jnp.asarray(np.stack([xh] * K))
+    ys = jnp.asarray(np.stack([yh] * K))
+    ls = jnp.asarray(np.stack([lh] * K))
     R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
     rng = jr.key(0, impl="rbg")  # the train loop's dropout stream
 
@@ -104,10 +112,10 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
         # cannot complete before the in-order device queue drains.
         np.asarray(jax.tree_util.tree_leaves(out)[0])
 
-    step = trainer.step_fn(train=True)
+    step = trainer.multi_step_fn(train=True)
     adv_w = jnp.float32(1.0)  # uploaded once: every transfer is an RPC
     for i in range(warmup):
-        gstate, dstate, out, rng = step(gstate, dstate, None, x, y, lengths,
+        gstate, dstate, out, rng = step(gstate, dstate, None, xs, ys, ls,
                                         R, None, adv_w, rng)
     _sync(out)
     # The axon tunnel's dispatch latency is wildly variable run-to-run;
@@ -117,11 +125,11 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
     for _ in range(windows_n):
         t0 = time.perf_counter()
         for i in range(steps):
-            gstate, dstate, out, rng = step(gstate, dstate, None, x, y,
-                                            lengths, R, None, adv_w, rng)
+            gstate, dstate, out, rng = step(gstate, dstate, None, xs, ys,
+                                            ls, R, None, adv_w, rng)
         _sync(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
-    frames = float(np.asarray(lengths).sum()) * steps
+    frames = float(lh.sum()) * steps * K
     return frames / best_dt
 
 

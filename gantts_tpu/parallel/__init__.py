@@ -151,6 +151,11 @@ class DataParallelGanTrainer(GanTrainer):
         return tuple(
             jax.tree_util.tree_map(self.put_replicated, s) for s in states)
 
+    # the fused multi-step driver has no sharded variant (loop.py falls
+    # back to one dispatch per batch on a mesh, where dispatch overhead
+    # is not serialized against a single chip's tunnel)
+    supports_multi_step = False
+
     def step_fn(self, train: bool):
         key = bool(train)
         if key not in self._jitted:

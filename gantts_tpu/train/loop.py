@@ -62,7 +62,7 @@ class RMatrixCache:
 def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                w_d=0.0, mse_w=0.0, mge_w=1.0, update_d=True, update_g=True,
                checkpoint_dir=None, writer=None, global_epoch=0,
-               seed=1234, profile_dir=None):
+               seed=1234, profile_dir=None, steps_per_dispatch=1):
     """Returns (gstate, dstate, final_epoch).
 
     Observability (SURVEY.md section 5): per-epoch wall time and
@@ -123,11 +123,21 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
             # host->device transfer is its own tunnel RPC)
             adv_w_dev = jnp.float32(adv_w)
 
-            for x, y, lengths in dataset_loaders[phase]:
-                B, T = x.shape[0], x.shape[1]
-                R = r_cache.get(T) if r_cache is not None else None
-                z = (noise_rs.rand(B, T, hp.generator_noise_dim)
-                     .astype(np.float32) if cfg.add_noise else None)
+            # Multi-step dispatch (single-device trainers only): groups of
+            # K consecutive SAME-SHAPE batches run as one lax.scan program
+            # (trainer.multi_step_fn) — bit-identical steps in the same
+            # order with the same chained rng, at 1/K the dispatch count
+            # (each dispatch is a serialized ~2 ms RPC on axon).  Shape
+            # changes and epoch ends flush the pending group: full K-chunks
+            # fused, the remainder one step at a time, order preserved.
+            K = (max(1, int(steps_per_dispatch))
+                 if getattr(trainer, "supports_multi_step", False) else 1)
+            mstep = trainer.multi_step_fn(train) if K > 1 else None
+            pend, pend_key = [], None
+
+            def run_one(x, y, lengths, z):
+                nonlocal gstate, dstate, rng
+                R = r_cache.get(x.shape[1]) if r_cache is not None else None
                 x, y, lengths, z = trainer.put_batch(x, y, lengths, z)
                 # the step advances the dropout key in-program (no
                 # per-batch split dispatch)
@@ -136,13 +146,54 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                     R, z, adv_w_dev, rng)
                 acc.append(out)
 
+            def run_fused(chunk):
+                nonlocal gstate, dstate, rng
+                xs = jnp.asarray(np.stack([c[0] for c in chunk]))
+                ys = jnp.asarray(np.stack([c[1] for c in chunk]))
+                ls = jnp.asarray(np.stack([c[2] for c in chunk]))
+                zs = (jnp.asarray(np.stack([c[3] for c in chunk]))
+                      if cfg.add_noise else None)
+                R = (r_cache.get(chunk[0][0].shape[1])
+                     if r_cache is not None else None)
+                gstate, dstate, outs, rng = mstep(
+                    gstate, dstate, ref_params, xs, ys, ls, R, zs,
+                    adv_w_dev, rng)
+                acc.append(outs)  # (K,)-stacked scalars
+
+            def drain(rest_single):
+                nonlocal pend
+                while len(pend) >= K:
+                    run_fused(pend[:K])
+                    del pend[:K]
+                if rest_single:
+                    for b in pend:
+                        run_one(*b)
+                    pend = []
+
+            for x, y, lengths in dataset_loaders[phase]:
+                z = (noise_rs.rand(x.shape[0], x.shape[1],
+                                   hp.generator_noise_dim)
+                     .astype(np.float32) if cfg.add_noise else None)
+                if K == 1:
+                    run_one(x, y, lengths, z)
+                    continue
+                bkey = (x.shape, y.shape)
+                if pend and bkey != pend_key:
+                    drain(True)
+                pend.append((x, y, lengths, z))
+                pend_key = bkey
+                drain(False)
+            if K > 1:
+                drain(True)
+
             # One host sync per phase
             acc = jax.device_get(acc)
             phase_dt = _time.perf_counter() - phase_t0
             sums = {}
             for out in acc:
                 for k, v in out.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    # fused dispatches contribute (K,)-stacked scalars
+                    sums[k] = sums.get(k, 0.0) + float(np.sum(v))
             total_num_frames = sums.pop("num_frames", 1.0)
 
             # Throughput observability (north-star metric, SURVEY section 5)

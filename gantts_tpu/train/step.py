@@ -272,6 +272,48 @@ class GanTrainer:
                 donate_argnums=(0, 1) if train else ())
         return self._jitted[key]
 
+    # Whether train_loop may drive this trainer through multi_step_fn.
+    # The data-parallel subclass overrides to False: its jits carry
+    # explicit in_shardings and the fused driver has no sharded variant
+    # (on a mesh the per-dispatch overhead this amortizes is minor).
+    supports_multi_step = True
+
+    def multi_step_fn(self, train: bool):
+        """K training steps per dispatch: ``lax.scan`` over K stacked
+        same-shape batches.  Bit-identical to K sequential ``step_fn``
+        calls (same order, same chained rng), but costs ONE dispatch —
+        on axon every dispatch is a ~2 ms tunnel RPC that donation
+        serializes with execution, so fusing K steps removes (K-1)/K of
+        that overhead.  K is a trace-time property of the stacked leading
+        axis; R/ref_params/adv_w are per-dispatch constants (passed as
+        arguments, never baked in — axon rejects large closure
+        constants).  Returns (gstate, dstate, outs, rng) where ``outs``
+        holds (K,)-stacked scalars."""
+        key = (bool(train), "multi")
+        if key not in self._jitted:
+            def fused(gstate, dstate, ref_params, xs, ys, lengths_s, R,
+                      zs, adv_w, rng):
+                def body(carry, batch):
+                    gstate, dstate, rng = carry
+                    if zs is None:
+                        x, y, lengths = batch
+                        z = None
+                    else:
+                        x, y, lengths, z = batch
+                    gstate, dstate, out, rng = self._step(
+                        train, gstate, dstate, ref_params, x, y, lengths,
+                        R, z, adv_w, rng)
+                    return (gstate, dstate, rng), out
+                seq = ((xs, ys, lengths_s) if zs is None
+                       else (xs, ys, lengths_s, zs))
+                (gstate, dstate, rng), outs = jax.lax.scan(
+                    body, (gstate, dstate, rng), seq)
+                return gstate, dstate, outs, rng
+
+            self._jitted[key] = jax.jit(
+                fused, donate_argnums=(0, 1) if train else ())
+        return self._jitted[key]
+
     def _step(self, train, gstate, dstate, ref_params, x, y, lengths, R, z,
               adv_w, rng):
         cfg = self.cfg

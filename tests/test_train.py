@@ -64,7 +64,7 @@ def _small_vc_hp():
 
 def _run_vc(vc_corpus, hp, w_d, mse_w=0.0, mge_w=1.0, update_g=True,
             ckpt=None, checkpoint_g=None, checkpoint_d=None, ref_params=None,
-            global_epoch=0):
+            global_epoch=0, steps_per_dispatch=1):
     from gantts_tpu.train import (
         GanTrainer, StepConfig, TrainState, load_checkpoint, train_loop)
     from gantts_tpu.train.setup import (
@@ -100,7 +100,7 @@ def _run_vc(vc_corpus, hp, w_d, mse_w=0.0, mge_w=1.0, update_g=True,
         trainer, gstate, dstate, ref_params, loaders, hp,
         w_d=w_d, mse_w=mse_w, mge_w=mge_w, update_d=w_d > 0,
         update_g=update_g, checkpoint_dir=ckpt, writer=rec,
-        global_epoch=global_epoch)
+        global_epoch=global_epoch, steps_per_dispatch=steps_per_dispatch)
     return gstate, dstate, rec.rows
 
 
@@ -408,3 +408,81 @@ def test_adv_weight_zero_adv_loss_is_clipped_not_crash():
     assert adv_weight(0.5, 0.5, 0.0) == 500.0
     assert abs(adv_weight(1.0, 2.0, 4.0) - 0.5) < 1e-12
     assert adv_weight(1.0, 0.0, 0.0) == 0.0
+
+
+def test_multi_step_fn_matches_sequential():
+    """The fused K-steps-per-dispatch driver (GanTrainer.multi_step_fn,
+    lax.scan over stacked batches) must be step-for-step identical to K
+    sequential step_fn calls: same updated params, same per-step scalars,
+    same chained dropout key."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.core.windows import unit_variance_mlpg_matrix
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.setup import init_models_and_states
+
+    hp = _small_vc_hp()
+    hp.generator_params.update(in_dim=57, out_dim=57)
+    hp.discriminator_params.update(in_dim=19)
+    K, B, T = 3, 4, 32
+    rs = np.random.RandomState(3)
+    xs = rs.rand(K, B, T, 57).astype(np.float32)
+    ys = rs.rand(K, B, T, 57).astype(np.float32)
+    ls = np.tile(np.array([20, 32, 17, 32], np.int32), (K, 1))
+    R = jnp.asarray(unit_variance_mlpg_matrix(hp.windows, T))
+    cfg = StepConfig.from_hparams(hp, w_d=0.7, mse_w=0.0, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    Y_mean = np.zeros(57, np.float32)
+    Y_std = np.ones(57, np.float32)
+    adv_w = jnp.float32(0.7)
+    rng0 = jax.random.key(11, impl="rbg")
+
+    # sequential (donating: re-init for the fused run below)
+    model_g, model_d, tx_g, tx_d, gs, ds = init_models_and_states(hp)
+    tr = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
+    step = tr.step_fn(True)
+    rng = rng0
+    seq_outs = []
+    for i in range(K):
+        gs, ds, out, rng = step(gs, ds, None, jnp.asarray(xs[i]),
+                                jnp.asarray(ys[i]), jnp.asarray(ls[i]),
+                                R, None, adv_w, rng)
+        seq_outs.append(jax.device_get(out))
+
+    model_g, model_d, tx_g, tx_d, gs2, ds2 = init_models_and_states(hp)
+    tr2 = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean, Y_std)
+    gs2, ds2, outs, rng2 = tr2.multi_step_fn(True)(
+        gs2, ds2, None, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ls),
+        R, None, adv_w, rng0)
+    outs = jax.device_get(outs)
+
+    for k in seq_outs[0]:
+        fused_k = np.asarray(outs[k])
+        assert fused_k.shape[0] == K, (k, fused_k.shape)
+        for i in range(K):
+            assert np.allclose(float(seq_outs[i][k]), fused_k[i],
+                               rtol=1e-5, atol=1e-6), (k, i)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(gs.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(gs2.params))):
+        assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ds.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(ds2.params))):
+        assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(rng)),
+                                  np.asarray(jax.random.key_data(rng2)))
+
+
+def test_train_loop_steps_per_dispatch_identical(vc_corpus):
+    """train_loop with steps_per_dispatch>1 (fused groups + single-step
+    remainders) must log the exact same scalar series as the unfused
+    loop — the fused driver is a dispatch-count optimization only."""
+    hp = _small_vc_hp()
+    _, _, rows1 = _run_vc(vc_corpus, hp, w_d=0.7)
+    hp = _small_vc_hp()
+    _, _, rows2 = _run_vc(vc_corpus, hp, w_d=0.7, steps_per_dispatch=2)
+    assert [r[0] for r in rows1] == [r[0] for r in rows2]
+    for (n1, v1, s1), (n2, v2, s2) in zip(rows1, rows2):
+        if "per_sec" in n1 or "seconds" in n1:
+            continue  # wall-clock series legitimately differ
+        assert np.isclose(v1, v2, rtol=1e-5, atol=1e-7), (n1, v1, v2)

@@ -62,6 +62,12 @@ def build_arg_parser():
     p.add_argument("--disable-slack", dest="disable_slack",
                    action="store_true")
     # --- TPU-build additions (SURVEY.md section 5 aux subsystems) ---
+    p.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
+                   type=int, default=0,
+                   help="training steps fused into one device dispatch "
+                        "(lax.scan over stacked same-shape batches; "
+                        "bit-identical to unfused). 0 = auto: 8 on a "
+                        "single device, 1 under data parallelism")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
@@ -223,13 +229,17 @@ def main(argv=None):
         trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean,
                              Y_std, windows=hp.windows)
 
+    spd = args.steps_per_dispatch if args.steps_per_dispatch > 0 \
+        else (8 if trainer.supports_multi_step else 1)
+
     print(f"Start training from epoch {global_epoch}")
     gstate, dstate, final_epoch = train_loop(
         trainer, gstate, dstate, ref_params, loaders, hp,
         w_d=w_d, mse_w=mse_w, mge_w=mge_w,
         update_d=update_d, update_g=update_g,
         checkpoint_dir=args.checkpoint_dir, writer=writer,
-        global_epoch=global_epoch, profile_dir=args.profile_dir)
+        global_epoch=global_epoch, profile_dir=args.profile_dir,
+        steps_per_dispatch=spd)
 
     for state, enabled, name in [(gstate, update_g, "Generator"),
                                  (dstate, cfg.update_d, "Discriminator")]:
