@@ -180,16 +180,21 @@ def main():
     p.add_argument("--root", default="/tmp/gantts_sweep")
     p.add_argument("--points", default="",
                    help="comma list of point names (default: all)")
+    p.add_argument("--num-utts", type=int, default=100, dest="num_utts",
+                   help="corpus size (utterances); points measured at "
+                        "different sizes are suffixed @N in the output")
     p.add_argument("--out", default=join(REPO, "docs", "tts_gan_sweep.json"))
     args = p.parse_args()
-    root = args.root
+    n = args.num_utts
+    root = join(args.root, f"n{n}") if n != 100 else args.root
     os.makedirs(root, exist_ok=True)
+    suffix = f"@{n}" if n != 100 else ""
 
-    corpus = join(root, "slt100")
+    corpus = join(root, f"slt{n}")
     data = join(root, "data")
     if not os.path.isdir(corpus):
         from tests.fixtures import make_tts_corpus
-        make_tts_corpus(corpus, num=100)
+        make_tts_corpus(corpus, num=n)
     if not exists(join(data, "X_acoustic")):
         sh([sys.executable, join(REPO, "prepare_features_tts.py"), corpus,
             f"--dst_dir={data}"], cwd=root)
@@ -208,13 +213,14 @@ def main():
     if exists(args.out):
         with open(args.out) as f:
             results = json.load(f)
-    results["baseline"] = {
+    results["baseline" + suffix] = {
         **eval_acoustic(
             join(base_ck, f"checkpoint_epoch{EPOCHS}_Generator.pth"), data),
         "train_mcd_db": final_scalar(join(base_ck, "log"),
                                      "train mcd metric"),
     }
-    print("baseline:", json.dumps(results["baseline"]))
+    print("baseline%s:" % suffix,
+          json.dumps(results["baseline" + suffix]))
 
     wanted = [s for s in args.points.split(",") if s]
     for name, knobs in POINTS:
@@ -254,16 +260,18 @@ def main():
                     pdir, f"checkpoint_epoch{d_warm}_Discriminator.pth"),
                 reset_optimizers=True, restart_epoch=G_WARMUP,
                 w_d=knobs["w_d"]), cwd=root)
-        results[name] = {
+        results[name + suffix] = {
             "knobs": knobs,
             **eval_acoustic(final_g, data, extra),
             "train_mcd_db": final_scalar(join(pdir, "log"),
                                          "train mcd metric"),
         }
-        base_def = results["baseline"]["modspec_hi_band_deficit_db"]
-        results[name]["deficit_ratio_vs_baseline"] = round(
-            results[name]["modspec_hi_band_deficit_db"] / base_def, 3)
-        print(name, json.dumps(results[name]))
+        base_def = results[
+            "baseline" + suffix]["modspec_hi_band_deficit_db"]
+        results[name + suffix]["deficit_ratio_vs_baseline"] = round(
+            results[name + suffix]["modspec_hi_band_deficit_db"]
+            / base_def, 3)
+        print(name + suffix, json.dumps(results[name + suffix]))
         os.makedirs(dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
