@@ -108,9 +108,17 @@ def _resonator(fc, bw, fs):
             np.array([1.0, -2.0 * r * np.cos(th), r * r]))
 
 
-def _frame_tracks(plan, rs, formant_scale=1.0):
+def _frame_tracks(plan, rs, formant_scale=1.0, articulation_scatter=0.0):
     """Per-frame (formants, voiced amp, noise amp, noise pole) from a plan
-    of (phone, n_frames) segments, with plosive closure/burst structure."""
+    of (phone, n_frames) segments, with plosive closure/burst structure.
+
+    ``articulation_scatter`` (lognormal sigma) jitters each SEGMENT's
+    formant targets independently — within-utterance acoustic variability
+    the linguistic labels do not encode, so an acoustic model predicting
+    the conditional mean must regress toward it (the oversmoothing
+    precondition real speech creates; see RESULTS.md corpus provenance).
+    At 0.0 (the default, and the VC fixtures' setting) no extra rs draws
+    are consumed, keeping earlier corpora bit-identical."""
     n = sum(nf for _, nf in plan)
     form = np.zeros((n, 3))
     vamp = np.zeros(n)
@@ -120,10 +128,14 @@ def _frame_tracks(plan, rs, formant_scale=1.0):
     for phone, nf in plan:
         (f1, f2, f3), va, manner, pole = PHONE_SPECS[phone]
         sl = slice(k, k + nf)
-        form[sl] = (f1 * formant_scale, f2 * formant_scale,
-                    f3 * formant_scale)
+        tgt = np.array([f1, f2, f3]) * formant_scale
+        pole_scale = formant_scale
+        if articulation_scatter > 0.0 and manner != "0":
+            tgt *= np.exp(articulation_scatter * rs.randn(3))
+            pole_scale *= float(np.exp(articulation_scatter * rs.randn()))
+        form[sl] = tgt
         if pole is not None:
-            npole[sl] = pole * formant_scale
+            npole[sl] = pole * pole_scale
         if manner == "v":
             vamp[sl] = va
             namp[sl] = 0.01  # breath floor
@@ -174,13 +186,14 @@ def _f0_track(plan, rs, base_f0):
 
 
 def synth_speechlike(plan, fs, hop, rs, base_f0, formant_scale=1.0,
-                     f0_scale=1.0):
+                     f0_scale=1.0, articulation_scatter=0.0):
     """Render a (phone, n_frames) plan to a float waveform of exactly
     ``sum(n_frames) * hop`` samples: glottal impulse train (+ shimmer)
     and shaped noise through a per-frame 3-formant resonator cascade."""
     import scipy.signal
 
-    form, vamp, namp, npole = _frame_tracks(plan, rs, formant_scale)
+    form, vamp, namp, npole = _frame_tracks(plan, rs, formant_scale,
+                                            articulation_scatter)
     f0_fr = _f0_track(plan, rs, base_f0) * f0_scale
     n_frames = len(vamp)
     n = n_frames * hop
@@ -294,8 +307,15 @@ def make_tts_corpus(root, num=10, fs=16000, seed=0, states=5,
                   "w") as f:
             f.write("\n".join(lines) + "\n")
 
+        # Per-utterance speaker scatter (vocal-tract scale) + per-segment
+        # articulation scatter: acoustic variability the labels do NOT
+        # encode.  Real corpora underdetermine acoustics exactly this way;
+        # without it the MGE baseline is near GV-transparent and the
+        # adversarial stage has no oversmoothing to correct (RESULTS.md).
         x = synth_speechlike(plan, fs, hop, rs,
-                             base_f0=float(rs.uniform(110, 200)))
+                             base_f0=float(rs.uniform(110, 200)),
+                             formant_scale=float(rs.uniform(0.92, 1.10)),
+                             articulation_scatter=0.06)
         from scipy.io import wavfile
         wavfile.write(join(root, "wav", f"utt_{i:04d}.wav"), fs,
                       (x * 32767).astype(np.int16))

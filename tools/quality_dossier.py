@@ -87,6 +87,17 @@ def main():
     p.add_argument("--only", choices=["vc", "tts", "all"], default="all",
                    help="rerun one half; the other half's rows are kept "
                         "from the existing --out-json")
+    p.add_argument("--n-tts", type=int, default=250, dest="n_tts",
+                   help="TTS corpus size (utterances); 250 is where the "
+                        "adversarial stage has enough data to shape the "
+                        "hi-band without wrecking MCD "
+                        "(docs/tts_gan_sweep.json)")
+    p.add_argument("--adv-hparams", default="", dest="adv_hparams",
+                   help="extra hparams for the GAN stages only "
+                        "(train_gan.sh ADV_HPARAMS, e.g. a gentler "
+                        "stage-5 lr)")
+    p.add_argument("--w-d", default="", dest="w_d",
+                   help="stage-5 adversarial weight (train_gan.sh W_D)")
     p.add_argument("--out-json", default=join(REPO, "results.json"))
     p.add_argument("--out-md", default=join(REPO, "RESULTS.md"))
     args = p.parse_args()
@@ -102,7 +113,7 @@ def main():
         tts_env = dict(DURATION_EPOCHS="3", ACOUSTIC_EPOCHS="3",
                        G_WARMUP="1", D_WARMUP="1")
     else:
-        n_vc, n_tts = 40, 100
+        n_vc, n_tts = 40, args.n_tts
         vc_env = dict(MAX_FILES=str(n_vc), TOTAL_EPOCH="40", G_WARMUP="10",
                       D_WARMUP="5")
         # batch_size=8 (vs the production 20): the synthetic corpus is small
@@ -117,6 +128,10 @@ def main():
         tts_env = dict(DURATION_EPOCHS="30", ACOUSTIC_EPOCHS="30",
                        G_WARMUP="8", D_WARMUP="4",
                        HPARAMS_EXTRA="batch_size=8")
+    if args.adv_hparams:
+        tts_env["ADV_HPARAMS"] = args.adv_hparams
+    if args.w_d:
+        tts_env["W_D"] = args.w_d
 
     # corpus dirs are size-suffixed so changing n regenerates; stale
     # checkpoint/log/generated dirs from a previous run are cleared below
@@ -153,10 +168,13 @@ def main():
             f"{n_vc} synthetic parallel utterances (tests/fixtures.py "
             f"make_arctic_vc_corpus), {vc_env['TOTAL_EPOCH']} epochs")
     if run_tts:
+        knobs = "".join(
+            f", {k}={tts_env[k]}" for k in ("ADV_HPARAMS", "W_D")
+            if k in tts_env)
         results["workload"]["tts"] = (
             f"{n_tts} synthetic labelled utterances (make_tts_corpus), "
             f"duration {tts_env['DURATION_EPOCHS']} / acoustic "
-            f"{tts_env['ACOUSTIC_EPOCHS']} epochs, batch_size=8")
+            f"{tts_env['ACOUSTIC_EPOCHS']} epochs, batch_size=8" + knobs)
     # importing gantts_tpu first honors GANTTS_TPU_PLATFORM (plain
     # JAX_PLATFORMS can be ignored here — sitecustomize imports jax first)
     import gantts_tpu  # noqa: F401
