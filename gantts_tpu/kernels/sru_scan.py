@@ -206,9 +206,18 @@ def linear_recurrence_pallas(f, b):
 # ===========================================================================
 
 
+def _chunk_mask(chunk, block, lv):
+    """(chunk, B, H) validity mask: global step s = block*chunk + j vs the
+    per-row length broadcast lv (B, H).  Mosaic's tpu.iota is
+    integer-only; cast after the offset add."""
+    steps = (jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, 1), 0)
+             + block * chunk).astype(jnp.float32)
+    return (steps < lv[None, :, :]).astype(jnp.float32)
+
+
 def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
                       u_ref, b_ref, len_ref, h_ref, c_ref, cb_ref,
-                      carry_ref):
+                      carry_ref, fm_ref, bm_ref):
     # I/O may be bf16 (u, h follow the compute dtype); all math runs f32 in
     # registers, and the recurrence state (c, carry) is always f32.
     # The pre-update state c_{prev} is NOT materialized per timestep: the
@@ -216,6 +225,14 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
     # traversal order) plus ``cb`` — the (n_chunks, B, H) carry entering
     # each chunk, written once per grid step.  Dropping the full cp array
     # saves a (T, B, H) f32 write forward and most of its read backward.
+    #
+    # Structure: everything WITHOUT a sequential dependence (gate sigmoids,
+    # masking, the highway output combine) runs VECTORIZED over the whole
+    # chunk before/after the scan; the serial fori_loop is only the
+    # irreducible two-op recurrence c = fm*c + bm.  Same per-element
+    # arithmetic as the per-timestep form (pinned in tests/test_kernels.py)
+    # — the VPU just executes it as chunk-wide ops instead of ~50 small
+    # serialized ops per timestep.
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -230,34 +247,45 @@ def _fused_fwd_kernel(rev, use_relu, chunk, n_chunks,
     bf = b_ref[0, H:2 * H].astype(f32)       # f-gate bias (bias add lives
     br = b_ref[0, 2 * H:3 * H].astype(f32)   # in-kernel: no u+bias pass)
 
+    # ---- vectorized pre-scan: masked gate/input terms for the chunk ----
+    m = _chunk_mask(chunk, block, lv)
+    f = jax.nn.sigmoid(u_ref[:, :, H:2 * H].astype(f32) + bf)
+    fm_ref[...] = f * m + (1.0 - m)
+    bm_ref[...] = (1.0 - f) * u_ref[:, :, 0:H].astype(f32) * m
+
     def body(i, c):
         j = (chunk - 1 - i) if rev else i
-        s = block * chunk + j  # global time index
-        m = (s < lv).astype(f32)
-        x_t = u_ref[j, :, 0:H].astype(f32)
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
-        fm = f * m + (1.0 - m)
-        bm = (1.0 - f) * x_t * m
-        c = fm * c + bm
+        c = fm_ref[j] * c + bm_ref[j]
         c_ref[j] = c
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
-        g = jnp.maximum(c, 0.0) if use_relu else jnp.tanh(c)
-        x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
-        h_ref[j] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
         return c
 
     carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
 
+    # ---- vectorized post-scan: highway output over the chunk ----
+    r = jax.nn.sigmoid(u_ref[:, :, 2 * H:3 * H].astype(f32) + br)
+    c_all = c_ref[...]
+    g = jnp.maximum(c_all, 0.0) if use_relu else jnp.tanh(c_all)
+    x_p = u_ref[:, :, 3 * H:4 * H].astype(f32)
+    h_ref[...] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
+
 
 def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
                       u_ref, b_ref, len_ref, c_ref, cb_ref, gh_ref, du_ref,
-                      db_ref, ghat_ref, fm_ref, db_acc):
+                      db_ref, ghat_ref, fm_ref, db_acc, a_ref, fmc_ref,
+                      gs_ref):
     # Traverses the OPPOSITE direction of the forward pass; `rev` here is
     # the traversal's own reversal flag (i.e. rev == not layer.reverse).
     # The forward's pre-update state cp is reconstructed in-block: in the
     # forward traversal order, cp[j] is the previous c within the chunk,
     # and at the chunk's first forward-traversal step it is cb[block]
     # (the carry the forward kernel recorded on chunk entry).
+    #
+    # Structure mirrors the forward: the gate/derivative terms and all four
+    # du blocks are VECTORIZED over the chunk; the serial fori_loop carries
+    # only the irreducible ghat recurrence ghat_j = a_j + fm_next * ghat
+    # (a_j = gh*m*r*g' precomputed, fm from the scratch block).  Same
+    # per-element arithmetic as the per-timestep form; the bias-gradient
+    # accumulation becomes one chunk-wide reduction per grid step.
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -274,48 +302,52 @@ def _fused_bwd_kernel(rev, use_relu, chunk, n_chunks,
     br = b_ref[0, 2 * H:3 * H].astype(f32)
     cb0 = cb_ref[0]
 
+    # ---- vectorized pre-scan over the chunk ----
+    m = _chunk_mask(chunk, block, lv)
+    f = jax.nn.sigmoid(u_ref[:, :, H:2 * H].astype(f32) + bf)
+    r = jax.nn.sigmoid(u_ref[:, :, 2 * H:3 * H].astype(f32) + br)
+    c = c_ref[...]
+    if use_relu:
+        g = jnp.maximum(c, 0.0)
+        gp = (c > 0.0).astype(f32)
+    else:
+        g = jnp.tanh(c)
+        gp = 1.0 - g * g
+    gh = gh_ref[...].astype(f32)
+    a_ref[...] = gh * m * r * gp
+    fmc_ref[...] = f * m + (1.0 - m)
+
     def body(i, carry):
         ghat, fm_next = carry
         j = (chunk - 1 - i) if rev else i
-        s = block * chunk + j
-        m = (s < lv).astype(f32)
-        x_t = u_ref[j, :, 0:H].astype(f32)
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
-        x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
-        c = c_ref[j]
-        if rev:
-            # layer runs forward in time (bwd traversal is reversed):
-            # cp[j] = c[j-1], except j == 0 -> chunk-entry carry
-            cp = jnp.where(j == 0, cb0, c_ref[jnp.maximum(j - 1, 0)])
-        else:
-            # layer runs reversed: cp[j] = c[j+1], except j == chunk-1
-            cp = jnp.where(j == chunk - 1, cb0,
-                           c_ref[jnp.minimum(j + 1, chunk - 1)])
-        if use_relu:
-            g = jnp.maximum(c, 0.0)
-            gp = (c > 0.0).astype(f32)
-        else:
-            g = jnp.tanh(c)
-            gp = 1.0 - g * g
-        gh = gh_ref[j].astype(f32)
-        ghat = gh * m * r * gp + fm_next * ghat
-        od = du_ref.dtype
-        du_f = m * ghat * (cp - x_t) * f * (1.0 - f)
-        du_r = gh * m * (g - x_p) * r * (1.0 - r)
-        du_ref[j, :, 0:H] = (ghat * (1.0 - f) * m).astype(od)
-        du_ref[j, :, H:2 * H] = du_f.astype(od)
-        du_ref[j, :, 2 * H:3 * H] = du_r.astype(od)
-        du_ref[j, :, 3 * H:4 * H] = (gh * (1.0 - r) * m).astype(od)
-        # bias gradients accumulated in VMEM across the whole grid — saves
-        # the full-du re-read an external sum would cost
-        db_acc[0, H:2 * H] += jnp.sum(du_f, axis=0)
-        db_acc[0, 2 * H:3 * H] += jnp.sum(du_r, axis=0)
-        fm_next = f * m + (1.0 - m)
-        return ghat, fm_next
+        ghat = a_ref[j] + fm_next * ghat
+        gs_ref[j] = ghat
+        return ghat, fmc_ref[j]
 
     ghat_ref[...], fm_ref[...] = jax.lax.fori_loop(
         0, chunk, body, (ghat_ref[...], fm_ref[...]))
+
+    # ---- vectorized post-scan: du blocks + bias-gradient reduction ----
+    if rev:
+        # layer runs forward in time (bwd traversal is reversed):
+        # cp[j] = c[j-1], except j == 0 -> chunk-entry carry
+        cp = jnp.concatenate([cb0[None], c[:-1]], axis=0)
+    else:
+        # layer runs reversed: cp[j] = c[j+1], except j == chunk-1
+        cp = jnp.concatenate([c[1:], cb0[None]], axis=0)
+    ghat = gs_ref[...]
+    od = du_ref.dtype
+    du_f = m * ghat * (cp - u_ref[:, :, 0:H].astype(f32)) * f * (1.0 - f)
+    du_r = gh * m * (g - u_ref[:, :, 3 * H:4 * H].astype(f32)) \
+        * r * (1.0 - r)
+    du_ref[:, :, 0:H] = (ghat * (1.0 - f) * m).astype(od)
+    du_ref[:, :, H:2 * H] = du_f.astype(od)
+    du_ref[:, :, 2 * H:3 * H] = du_r.astype(od)
+    du_ref[:, :, 3 * H:4 * H] = (gh * (1.0 - r) * m).astype(od)
+    # bias gradients accumulated in VMEM across the whole grid — saves
+    # the full-du re-read an external sum would cost
+    db_acc[0, H:2 * H] += jnp.sum(du_f, axis=(0, 1))
+    db_acc[0, 2 * H:3 * H] += jnp.sum(du_r, axis=(0, 1))
 
     @pl.when(t == n_chunks - 1)
     def _():
@@ -347,11 +379,14 @@ def _fused_per_h(u_dtype):
     The FWD and BWD kernels must agree on the chunk (the per-chunk
     boundary-carry array ``cb`` is laid out at the forward's chunking), so
     both size against the larger (backward) footprint: u (4 lanes) + c
-    (f32) + gh + du (4 lanes), all non-f32 lanes at the u itemsize.  bf16
-    I/O roughly doubles the feasible chunk (fewer serial grid steps).
+    (f32) + gh + du (4 lanes), all non-f32 lanes at the u itemsize, plus
+    the three chunk-sized f32 scratch blocks of the vectorized-scan form
+    (not pipelined/double-buffered, so they count at half weight under
+    fit_chunk's 2x).  bf16 I/O roughly doubles the feasible chunk (fewer
+    serial grid steps).
     """
     su = jnp.dtype(u_dtype).itemsize
-    return 9 * su + 4
+    return 9 * su + 4 + 6
 
 
 def _fused_chunk(B, H, per_h_bytes):
@@ -379,7 +414,9 @@ def _fused_fwd_call(u, b2d, len_bc, rev, use_relu):
         in_specs=[u_spec, b_spec, len_spec],
         out_specs=[h_spec, h_spec, cb_spec],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
@@ -409,7 +446,10 @@ def _fused_bwd_call(u, b2d, len_bc, c, cb, gh, rev_layer, use_relu):
                    jax.ShapeDtypeStruct((8, 4 * H), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32),
-                        pltpu.VMEM((8, 4 * H), jnp.float32)],
+                        pltpu.VMEM((8, 4 * H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=not _on_tpu(),
@@ -526,10 +566,13 @@ def _proj_u(x_ref, w_ref, out_dtype):
 def _psru_fwd_kernel(rev, use_relu, chunk, n_chunks,
                      x_ref, w_ref, b_ref, len_ref,
                      h_ref, u_ref, c_ref, cb_ref,
-                     carry_ref):
+                     carry_ref, fm_ref, bm_ref):
     # Same cell math as _fused_fwd_kernel (pinned in tests/test_kernels.py)
     # with u coming from the in-kernel projection, written straight into
-    # the u OUTPUT block (it doubles as the backward's residual).
+    # the u OUTPUT block (it doubles as the backward's residual).  Same
+    # vectorized-pre/serial-core/vectorized-post structure too: the MXU
+    # projection and the chunk-wide VPU gate math both sit OUTSIDE the
+    # serial fori_loop, which carries only c = fm*c + bm.
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -545,23 +588,24 @@ def _psru_fwd_kernel(rev, use_relu, chunk, n_chunks,
     bf = b_ref[0, H:2 * H].astype(f32)
     br = b_ref[0, 2 * H:3 * H].astype(f32)
 
+    m = _chunk_mask(chunk, block, lv)
+    f = jax.nn.sigmoid(u_ref[:, :, H:2 * H].astype(f32) + bf)
+    fm_ref[...] = f * m + (1.0 - m)
+    bm_ref[...] = (1.0 - f) * u_ref[:, :, 0:H].astype(f32) * m
+
     def body(i, c):
         j = (chunk - 1 - i) if rev else i
-        s = block * chunk + j
-        m = (s < lv).astype(f32)
-        x_t = u_ref[j, :, 0:H].astype(f32)
-        f = jax.nn.sigmoid(u_ref[j, :, H:2 * H].astype(f32) + bf)
-        fm = f * m + (1.0 - m)
-        bm = (1.0 - f) * x_t * m
-        c = fm * c + bm
+        c = fm_ref[j] * c + bm_ref[j]
         c_ref[j] = c
-        r = jax.nn.sigmoid(u_ref[j, :, 2 * H:3 * H].astype(f32) + br)
-        g = jnp.maximum(c, 0.0) if use_relu else jnp.tanh(c)
-        x_p = u_ref[j, :, 3 * H:4 * H].astype(f32)
-        h_ref[j] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
         return c
 
     carry_ref[...] = jax.lax.fori_loop(0, chunk, body, carry_ref[...])
+
+    r = jax.nn.sigmoid(u_ref[:, :, 2 * H:3 * H].astype(f32) + br)
+    c_all = c_ref[...]
+    g = jnp.maximum(c_all, 0.0) if use_relu else jnp.tanh(c_all)
+    x_p = u_ref[:, :, 3 * H:4 * H].astype(f32)
+    h_ref[...] = ((r * g + (1.0 - r) * x_p) * m).astype(h_ref.dtype)
 
 
 def _psru_specs(T, B, D, H, chunk, rev):
@@ -608,7 +652,9 @@ def _psru_fwd_call(x, w, b2d, len_bc, rev, use_relu):
         in_specs=[x_spec, w_spec, b_spec, len_spec],
         out_specs=[h_spec, u_spec, h_spec, cb_spec],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32),
+                        pltpu.VMEM((chunk, B, H), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_PROJ_VMEM_LIMIT),
         interpret=not _on_tpu(),
