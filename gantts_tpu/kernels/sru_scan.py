@@ -550,7 +550,10 @@ def sru_proj_feasible(B, D, H, compute_dtype):
         else jnp.float32
     s = jnp.dtype(io).itemsize
     chunk = _proj_chunk(Bp, Dp, Hp, io)
-    return (chunk * _proj_per_t(Bp, Dp, Hp, s)
+    # fm/bm: two (chunk, B, H) f32 scratch blocks of the vectorized-scan
+    # form — grid-resident (not pipelined/double-buffered), counted once
+    fm_bm = chunk * Bp * Hp * 8
+    return (chunk * _proj_per_t(Bp, Dp, Hp, s) + fm_bm
             + _proj_resident(Bp, Dp, Hp, s) <= _PROJ_BUDGET)
 
 

@@ -148,11 +148,12 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
 
             def run_fused(chunk):
                 nonlocal gstate, dstate, rng
-                xs = jnp.asarray(np.stack([c[0] for c in chunk]))
-                ys = jnp.asarray(np.stack([c[1] for c in chunk]))
-                ls = jnp.asarray(np.stack([c[2] for c in chunk]))
-                zs = (jnp.asarray(np.stack([c[3] for c in chunk]))
-                      if cfg.add_noise else None)
+                xs, ys, ls, zs = trainer.put_stacked_batch(
+                    np.stack([c[0] for c in chunk]),
+                    np.stack([c[1] for c in chunk]),
+                    np.stack([c[2] for c in chunk]),
+                    np.stack([c[3] for c in chunk])
+                    if cfg.add_noise else None)
                 R = (r_cache.get(chunk[0][0].shape[1])
                      if r_cache is not None else None)
                 gstate, dstate, outs, rng = mstep(

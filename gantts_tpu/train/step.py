@@ -249,6 +249,15 @@ class GanTrainer:
         return (jnp.asarray(x), jnp.asarray(y), jnp.asarray(lengths),
                 jnp.asarray(z) if z is not None else None)
 
+    def put_stacked_batch(self, xs, ys, lengths_s, zs=None):
+        """Place a (K, ...)-stacked group of same-shape batches for
+        multi_step_fn.  Any trainer that sets ``supports_multi_step`` must
+        keep this consistent with its ``put_batch`` placement (the fused
+        driver in train/loop.py uploads through this hook, bypassing the
+        per-batch path)."""
+        return (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(lengths_s),
+                jnp.asarray(zs) if zs is not None else None)
+
     def put_replicated(self, a):
         """Place a batch-independent operand (e.g. the MLPG matrix R)."""
         return jnp.asarray(a)

@@ -213,6 +213,20 @@ def main():
     if exists(args.out):
         with open(args.out) as f:
             results = json.load(f)
+    # stamp the fixture revision that generated the corpus so provenance
+    # drift is detectable (round-4 VERDICT item 7: the checked-in TTS rows
+    # had outlived the fixture code that produced them)
+    fix_rev = subprocess.run(
+        ["git", "hash-object", join(REPO, "tests", "fixtures.py")],
+        capture_output=True, text=True).stdout.strip()
+    prov = results.setdefault("_provenance", {})
+    if prov.get("fixtures_blob") not in (None, fix_rev):
+        print(f"NOTE: fixtures.py changed ({prov['fixtures_blob'][:10]} -> "
+              f"{fix_rev[:10]}); older points in {args.out} were measured "
+              "on a different corpus", file=sys.stderr)
+    prov["fixtures_blob"] = fix_rev
+    prov["corpus"] = "tests/fixtures.py make_tts_corpus (speech-like, " \
+        "articulation_scatter=0.06 + per-utterance speaker scatter)"
     results["baseline" + suffix] = {
         **eval_acoustic(
             join(base_ck, f"checkpoint_epoch{EPOCHS}_Generator.pth"), data),

@@ -40,8 +40,9 @@ TRAIN="$PYTHON $SCRIPT_DIR/train.py"
 # measures the sensible range on the dossier corpus)
 W_D=${W_D:-1.0}
 
-# Extra hparams applied to the D-warmup + adversarial stages ONLY (3 and 5
-# — the GAN stages; the baseline/G-warmup stay at the bundle defaults).
+# Extra hparams applied to every stage that trains a discriminator (3, 4
+# and 5 — D warmup, the optional spoofing reference D, and the joint
+# adversarial stage; the baseline/G-warmup stay at the bundle defaults).
 # Used to slow the discriminator on small corpora, e.g.
 # ADV_HPARAMS="optimizer_d_params={'lr': 0.001, 'weight_decay': 1e-7}"
 # (tools/tts_gan_sweep.py measures the effect).
