@@ -8,6 +8,8 @@ the fallback on other backends and the numerical oracle in tests.
 import jax
 
 from gantts_tpu.kernels.lstm_scan import (  # noqa: F401
+    bilstm_proj_feasible,
+    fused_bilstm_proj_layer,
     fused_lstm_layer,
     fused_lstm_proj_layer,
     lstm_proj_feasible,

@@ -46,7 +46,7 @@ class LSTMLayer(nn.Module):
     time_major: bool = False  # x is (T, B, D); outputs (T, B, H)
 
     @nn.compact
-    def __call__(self, x, lengths):
+    def __call__(self, x, lengths, return_params=False):
         if self.time_major:
             T, B, D = x.shape
         else:
@@ -60,6 +60,12 @@ class LSTMLayer(nn.Module):
         # but two draws changes the init distribution — keep both.
         b_ih = self.param("b_ih", init, (4 * H,))
         b_hh = self.param("b_hh", init, (4 * H,))
+        if return_params:
+            # parameter-declaration-only call: the parent runs the compute
+            # (StackedLSTM's fused bidirectional kernel takes both
+            # directions' params while the checkpointed param tree keeps
+            # its l{N}_{fwd,bwd} layout)
+            return dict(w_ih=w_ih, w_hh=w_hh, bias=b_ih + b_hh)
         cd = jnp.dtype(self.compute_dtype)
 
         from gantts_tpu import kernels
@@ -147,7 +153,36 @@ class StackedLSTM(nn.Module):
         # Tile-pad ONCE for the whole stack (pad_rnn_stack) so the fused
         # kernels' per-layer pad/slice copies are no-ops.
         out, lengths, (T0, B0) = pad_rnn_stack(out, lengths)
+        from gantts_tpu import kernels
+        from gantts_tpu.kernels import lstm_scan
+
         for layer in range(self.num_layers):
+            if (self.bidirectional and kernels.default_use_pallas()
+                    and lstm_scan.bilstm_proj_feasible(
+                        out.shape[1], out.shape[2], self.hidden_dim,
+                        jnp.dtype(self.compute_dtype))):
+                # Both directions fused into ONE kernel: the two
+                # independent recurrences interleave in the grid body so
+                # one direction's MXU matmul overlaps the other's VPU gate
+                # math (kernels/lstm_scan.py bidirectional section).  The
+                # child layers only declare their params here — the param
+                # tree (and checkpoints) keep the l{N}_{fwd,bwd} layout.
+                pf = LSTMLayer(self.hidden_dim, self.compute_dtype,
+                               time_major=True,
+                               name=f"l{layer}_fwd")(
+                    out, lengths, return_params=True)
+                pb = LSTMLayer(self.hidden_dim, self.compute_dtype,
+                               reverse=True, time_major=True,
+                               name=f"l{layer}_bwd")(
+                    out, lengths, return_params=True)
+                yf, yb = kernels.fused_bilstm_proj_layer(
+                    out, pf, pb, lengths,
+                    compute_dtype=self.compute_dtype)
+                out = jnp.concatenate([yf, yb], axis=-1)
+                if self.dropout > 0 and layer < self.num_layers - 1:
+                    out = nn.Dropout(self.dropout)(
+                        out, deterministic=deterministic)
+                continue
             fwd = LSTMLayer(self.hidden_dim, self.compute_dtype,
                             time_major=True,
                             name=f"l{layer}_fwd")(out, lengths)

@@ -462,6 +462,75 @@ def test_fused_lstm_proj_layer_matches_unfused():
                     (cd, reverse, name, np.abs(a - b).max(), scale)
 
 
+def test_fused_bilstm_proj_layer_matches_single_direction():
+    """Bidirectional fused LSTM kernel (both directions in ONE grid) ==
+    two single-direction projection-fused layers (themselves pinned to the
+    scan oracle): forward and all gradients (dx, dW_ih, dW_hh, dbias for
+    both directions), f32 and bf16, ragged lengths, off-tile shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantts_tpu.kernels import (fused_bilstm_proj_layer,
+                                    fused_lstm_proj_layer)
+
+    rs = np.random.RandomState(7)
+    T, B, D, H = 21, 3, 11, 9
+    x = jnp.asarray(rs.randn(T, B, D).astype(np.float32))
+    lengths = jnp.asarray(np.array([21, 13, 5], np.int32))
+    pf = {k: jnp.asarray(v) for k, v in
+          dict(w_ih=rs.randn(D, 4 * H).astype(np.float32) * 0.3,
+               w_hh=rs.randn(H, 4 * H).astype(np.float32) * 0.3,
+               bias=rs.randn(4 * H).astype(np.float32) * 0.1).items()}
+    pb = {k: jnp.asarray(v) for k, v in
+          dict(w_ih=rs.randn(D, 4 * H).astype(np.float32) * 0.3,
+               w_hh=rs.randn(H, 4 * H).astype(np.float32) * 0.3,
+               bias=rs.randn(4 * H).astype(np.float32) * 0.1).items()}
+
+    for cd, fwd_tol, g_tol in (("float32", 5e-6, 5e-5),
+                               ("bfloat16", 1 / 128, 3e-2)):
+        def ref_path(x, pf, pb):
+            yf = fused_lstm_proj_layer(x, pf["w_ih"], pf["w_hh"],
+                                       pf["bias"], lengths, reverse=False,
+                                       compute_dtype=cd)
+            yb = fused_lstm_proj_layer(x, pb["w_ih"], pb["w_hh"],
+                                       pb["bias"], lengths, reverse=True,
+                                       compute_dtype=cd)
+            return yf, yb
+
+        def new_path(x, pf, pb):
+            return fused_bilstm_proj_layer(x, pf, pb, lengths,
+                                           compute_dtype=cd)
+
+        yr = ref_path(x, pf, pb)
+        yn = new_path(x, pf, pb)
+        for a, b, which in zip(yr, yn, ("fwd", "bwd")):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - b).max() <= fwd_tol * scale, \
+                (cd, which, np.abs(a - b).max())
+            # padded frames exactly zero
+            m = np.arange(T)[:, None] < np.asarray(lengths)[None, :]
+            assert (b[~m] == 0).all(), (cd, which)
+
+        def loss(path):
+            def f(x, pf, pb):
+                yf, yb = path(x, pf, pb)
+                y = jnp.concatenate([yf, yb], -1).astype(jnp.float32)
+                return jnp.sum(y ** 2) + jnp.sum(y[:, :, ::2] ** 3)
+            return f
+
+        gr = jax.grad(loss(ref_path), argnums=(0, 1, 2))(x, pf, pb)
+        gn = jax.grad(loss(new_path), argnums=(0, 1, 2))(x, pf, pb)
+        for a, b in zip(jax.tree_util.tree_leaves(gr),
+                        jax.tree_util.tree_leaves(gn)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(np.abs(a).max(), 1.0)
+            assert np.abs(a - b).max() < g_tol * scale, \
+                (cd, np.abs(a - b).max(), scale)
+
+
 def test_fused_lstm_layer_bf16_io():
     """bf16 xp I/O: in-kernel math/carries stay f32, so the result must
     track the f32 oracle to bf16 tolerance."""

@@ -396,6 +396,134 @@ def test_multihost_checkpoint_handoff(tmp_path):
     _assert_cluster_agrees(outs_b, _inprocess_reference(4, 4))
 
 
+# Multi-host TRAIN-LOOP program (round-5 VERDICT item 6): drives the real
+# ``train_loop`` (not raw step calls) on a recurrent SRU generator over a
+# MIXED-SHAPE batch sequence — T=64, T=96, T=64 — so the per-shape jit
+# cache, the R-matrix bucket cache, and the epoch/adv-weight host state are
+# all exercised across processes.  argv = pid, port, repo, nprocs.
+_MULTIHOST_LOOP_PROG = r'''
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+pid, port, repo, nprocs = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                           int(sys.argv[4]))
+jax.distributed.initialize(coordinator_address="127.0.0.1:%d" % port,
+                           num_processes=nprocs, process_id=pid)
+import numpy as np
+sys.path.insert(0, repo)
+from tests.test_parallel import _loop_workload
+out = _loop_workload(mesh_devices=None)
+print("RESULT" + json.dumps(out, sort_keys=True), flush=True)
+'''
+
+
+def _loop_workload(mesh_devices):
+    """Shared train_loop workload: recurrent SRU generator, 2 epochs over a
+    mixed-shape 3-batch train loader (+1 test batch).  ``mesh_devices``
+    sizes an in-process mesh; None = all global devices (cluster mode).
+    Returns per-leaf parameter means of both final states (the strongest
+    cross-process / cross-topology parity signal)."""
+    from gantts_tpu.train.loop import train_loop
+
+    hp = hparams.tts_acoustic.copy()
+    hp.nepoch = 2
+    hp.generator_params.update(
+        in_dim=30, out_dim=187, num_hidden=1, hidden_dim=16,
+        bidirectional=True, dropout=0.0, use_relu=1, rnn_dropout=0.0,
+        last_sigmoid=False)
+    hp.discriminator_params.update(in_dim=58 + 30, num_hidden=1,
+                                   hidden_dim=8, dropout=0.0)
+    model_g, model_d, tx_g, tx_d, gstate, dstate = init_models_and_states(hp)
+    cfg = StepConfig.from_hparams(hp, w_d=1.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=True, update_g=True)
+    mesh = make_mesh(mesh_devices)
+    tr = DataParallelGanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                                np.zeros(187, np.float32),
+                                np.ones(187, np.float32), mesh=mesh)
+
+    rs = np.random.RandomState(0)
+
+    def batch(T):
+        x = rs.rand(8, T, 30).astype(np.float32)
+        y = rs.rand(8, T, 187).astype(np.float32)
+        lengths = np.r_[rs.randint(T // 2, T, 7), T].astype(np.int32)
+        return x, y, lengths
+
+    # identical global batch sequence on every process (the DP loader
+    # contract, CLAUDE.md): two bucket lengths, revisited out of order
+    loaders = {"train": [batch(64), batch(96), batch(64)],
+               "test": [batch(64)]}
+    gstate, dstate, _ = train_loop(
+        tr, gstate, dstate, None, loaders, hp, w_d=1.0, mse_w=0.0,
+        mge_w=1.0, update_d=True, update_g=True, checkpoint_dir=None,
+        writer=None, seed=1234)
+    out = {}
+    for tag, st in (("g", gstate), ("d", dstate)):
+        leaves = jax.tree_util.tree_leaves(jax.device_get(st.params))
+        for i, leaf in enumerate(leaves):
+            out[f"{tag}{i}"] = float(np.mean(np.asarray(leaf, np.float64)))
+    return out
+
+
+def test_multihost_train_loop_mixed_shapes():
+    """REAL multi-host DP through the actual train_loop over a mixed-shape
+    batch sequence: both cluster processes must agree on every final
+    parameter leaf AND match the same workload run on an in-process
+    4-device mesh (per-shape jit cache + R bucket cache + epoch state all
+    live, recurrent scan generator)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from os.path import dirname
+
+    REPO = dirname(dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+
+    def attempt():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", _MULTIHOST_LOOP_PROG, str(i), str(port),
+             REPO, "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env) for i in range(2)]
+        texts = [p.communicate(timeout=600)[0] for p in procs]
+        if any(p.returncode != 0 for p in procs):
+            return None, texts
+        return texts, texts
+
+    for _ in range(3):
+        texts, raw = attempt()
+        if texts is not None:
+            break
+    assert texts is not None, "".join(t[-2000:] for t in raw)
+    outs = []
+    for out in texts:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
+        assert line, out[-2000:]
+        outs.append(json.loads(line[-1][len("RESULT"):]))
+
+    # cross-process agreement (replicated params must be identical)
+    assert outs[0].keys() == outs[1].keys()
+    for k in outs[0]:
+        assert np.isfinite(outs[0][k]), (k, outs[0][k])
+        assert np.isclose(outs[0][k], outs[1][k], rtol=1e-6), \
+            (k, outs[0][k], outs[1][k])
+
+    # cross-topology agreement with the uninterrupted in-process run
+    ref = _loop_workload(mesh_devices=4)
+    assert ref.keys() == outs[0].keys()
+    for k in ref:
+        assert np.isclose(outs[0][k], ref[k], rtol=5e-4, atol=1e-6), \
+            (k, outs[0][k], ref[k])
+
+
 def test_dp_step_with_pallas_kernels_matches_fallback(monkeypatch):
     """The sharded GAN step must trace/compile/run with the fused Pallas
     kernels active (interpret mode on the CPU mesh) and reproduce the scan
