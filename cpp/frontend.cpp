@@ -578,11 +578,33 @@ void subharmonic_fix(const double* x, int64_t n, const double* f0,
 // n_bins = fft_size/2 + 1; fft_size a power of two.
 void cheaptrick_frames(const double* x, int64_t n, const double* f0,
                        const double* tpos, int64_t T, double fs, double q1,
-                       double f0_floor, int fft_size, double* sp) {
+                       double f0_floor, int fft_size, int uv_clamp,
+                       double* sp) {
   const int n_bins = fft_size / 2 + 1;
   std::vector<double> re(fft_size), im(fft_size), ps(n_bins), ext, cs;
   std::vector<double> cep(fft_size), lif(n_bins);
   const int kUvAvgSegments = 9;  // oracle: world.py UV_AVG_SEGMENTS
+  // Per-frame voicing-run sample bounds for the unvoiced sub-window clamp
+  // (oracle: world.py _uv_run_bounds — integer midpoints of
+  // ties-to-even-rounded frame centers; +-inf sentinels at signal edges).
+  const int64_t kBig = (int64_t)1 << 60;
+  std::vector<int64_t> run_lo(T, -kBig), run_hi(T, kBig);
+  {
+    std::vector<int64_t> centers(T);
+    for (int64_t i = 0; i < T; ++i)
+      centers[i] = (int64_t)std::nearbyint(tpos[i] * fs);
+    int64_t i = 0;
+    while (i < T) {
+      const bool vi = f0[i] > f0_floor / 2.0;
+      int64_t j = i;
+      while (j < T && (f0[j] > f0_floor / 2.0) == vi) ++j;
+      for (int64_t k = i; k < j; ++k) {
+        if (i > 0) run_lo[k] = (centers[i - 1] + centers[i]) / 2;
+        if (j < T) run_hi[k] = (centers[j - 1] + centers[j]) / 2;
+      }
+      i = j;
+    }
+  }
   for (int64_t i = 0; i < T; ++i) {
     const bool voiced = f0[i] > f0_floor / 2.0;
     const double f = voiced ? f0[i] : 500.0;
@@ -596,8 +618,22 @@ void cheaptrick_frames(const double* x, int64_t n, const double* f0,
     const int K = voiced ? 1 : kUvAvgSegments;
     std::fill(ps.begin(), ps.end(), 0.0);
     for (int sub = 0; sub < K; ++sub) {
-      const int64_t off =
+      int64_t off =
           (int64_t)std::nearbyint(((double)sub - (double)(K - 1) / 2.0) * T0);
+      if (!voiced && uv_clamp) {
+        // transition-aware placement (oracle: world.py cheaptrick): shift
+        // a sub-window that would cross into an adjacent voiced run back
+        // inside this unvoiced run
+        const int64_t wlo = c - half + off;
+        const int64_t whi = c + half + off;
+        if (wlo < run_lo[i]) {
+          off += std::max((int64_t)0,
+                          std::min(run_lo[i] - wlo, run_hi[i] - whi));
+        } else if (whi > run_hi[i]) {
+          off -= std::max((int64_t)0,
+                          std::min(whi - run_hi[i], wlo - run_lo[i]));
+        }
+      }
       // windowed, DC-removed segment straight into the FFT input.  The DC
       // sums run over the FULL window even if it exceeds fft_size (the
       // oracle subtracts first, then np.fft.rfft truncates).

@@ -121,7 +121,7 @@ def _load_locked():
         lib.cheaptrick_frames.argtypes = [
             c_double_p, ctypes.c_int64, c_double_p, c_double_p,
             ctypes.c_int64, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int, c_double_p]
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, c_double_p]
         lib.cheaptrick_frames.restype = None
         lib.d4c_band_cplx.argtypes = [
             c_double_p, c_double_p, ctypes.c_int64, ctypes.c_int64,
@@ -255,7 +255,8 @@ def subharmonic_fix(x, f0, temporal_positions, fs, f0_floor,
     return out
 
 
-def cheaptrick_frames(x, f0, temporal_positions, fs, q1, f0_floor, fft_size):
+def cheaptrick_frames(x, f0, temporal_positions, fs, q1, f0_floor, fft_size,
+                      uv_clamp=True):
     """C++ twin of world.py cheaptrick's frame loop; (T, fft//2+1) power."""
     lib = _load()
     x = np.ascontiguousarray(x, dtype=np.float64)
@@ -266,7 +267,7 @@ def cheaptrick_frames(x, f0, temporal_positions, fs, q1, f0_floor, fft_size):
                           ctypes.c_double(float(fs)),
                           ctypes.c_double(float(q1)),
                           ctypes.c_double(float(f0_floor)), int(fft_size),
-                          _ptr(sp))
+                          int(bool(uv_clamp)), _ptr(sp))
     return sp
 
 

@@ -326,6 +326,38 @@ def _contour_consistency_fix(x, f0, temporal_positions, fs, rel=0.3,
     return out
 
 
+ONSET_REPROBE_R = 0.6  # NCC threshold for the pre-onset voicing re-probe
+
+
+def _onset_reprobe(x, f0, temporal_positions, fs, thresh=ONSET_REPROBE_R):
+    """Extend each voiced run ONE frame earlier when the pre-onset frame is
+    measurably periodic at the onset F0.
+
+    Windowed voicing decisions turn on systematically LATE at voicing
+    onsets (the first voiced frame's analysis window is half unvoiced, so
+    gates reject it; measured ~1 frame mean lag on the fidelity corpus).
+    Offsets are left alone: the post-offset formant ring is quasi-periodic,
+    and rendering pulses there matches the signal BETTER than noise
+    (measured — an offset-side trim regresses the boundary MCD ~0.2 dB).
+    Evidence-gated via the existing NCC primitive (_ncc_refine, C++ twin
+    pinned): only frames whose own centered window confirms periodicity at
+    the onset F0 are claimed, so true silence before an onset stays
+    unvoiced.  Effect (tools/copy_synthesis_bench.py): vuv_boundary
+    round-trip MCD 1.74 -> 1.67 dB with total V/UV error unchanged."""
+    out = f0.copy()
+    probes = np.zeros(len(f0))
+    for i in range(1, len(f0)):
+        if f0[i] > 0 and f0[i - 1] == 0:
+            probes[i - 1] = f0[i]
+    if not (probes > 0).any():
+        return out
+    refined, peak_r = _ncc_refine(np.asarray(x, dtype=np.float64), probes,
+                                  temporal_positions, fs)
+    sel = (probes > 0) & (peak_r >= thresh)
+    out[sel] = refined[sel]
+    return out
+
+
 def _remove_jumps(f0, allowed_range=0.18, min_run=3):
     """Zero out short/discontinuous voiced runs (DIO FixStep analog)."""
     f0 = f0.copy()
@@ -536,6 +568,8 @@ def harvest(x, fs, f0_floor=DEFAULT_F0_FLOOR, f0_ceil=DEFAULT_F0_CEIL,
 
     # ---- refinement around the fixed contour ------------------------------
     f0, _ = _ncc_refine(x, f0, t, fs)
+    # onset-lag correction LAST (operates on the final voicing decisions)
+    f0 = _onset_reprobe(x, f0, t, fs)
     return f0, t
 
 
@@ -560,13 +594,20 @@ def _voiced_segments(f0):
 # ---------------------------------------------------------------------------
 
 def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
-               f0_floor=DEFAULT_F0_FLOOR, fft_size=None):
+               f0_floor=DEFAULT_F0_FLOOR, fft_size=None,
+               uv_boundary_clamp=True):
     """Pitch-adaptive spectral envelope; (T, fft_size//2+1) power spectrum.
 
     Contract of pyworld.cheaptrick (prepare_features_vc.py:48,
     prepare_features_tts.py:120, evaluation_vc.py:47).  The per-frame loop
     runs in C++ when the host library is available (cpp/frontend.cpp
-    cheaptrick_frames); this NumPy body is its oracle."""
+    cheaptrick_frames); this NumPy body is its oracle.
+
+    ``uv_boundary_clamp`` enables the transition-aware unvoiced sub-window
+    placement (see the loop comment).  Default ON — production analysis
+    wants it; the fidelity tooling's co-analysis distance
+    (tools/copy_synthesis_bench.py frame_mcd) turns it OFF so the metric
+    stays a fixed instrument comparable across rounds."""
     x = np.asarray(x, dtype=np.float64)
     if fft_size is None:
         fft_size = get_cheaptrick_fft_size(fs, f0_floor)
@@ -580,11 +621,13 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
             and UV_AVG_SEGMENTS == 9 and UV_AVG_SPACING == 1.0
             and CHEAPTRICK_UV_F0 == 500.0):
         return native.cheaptrick_frames(x, f0, temporal_positions, fs,
-                                        q1, f0_floor, fft_size)
+                                        q1, f0_floor, fft_size,
+                                        uv_clamp=uv_boundary_clamp)
     n_bins = fft_size // 2 + 1
     T = len(f0)
     sp = np.empty((T, n_bins))
     default_f0 = CHEAPTRICK_UV_F0
+    run_lo, run_hi = _uv_run_bounds(f0, temporal_positions, fs, f0_floor)
 
     for i in range(T):
         voiced = f0[i] > f0_floor / 2
@@ -603,6 +646,24 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
         ps = np.zeros(n_bins)
         for j in range(K):
             off = int(round((j - (K - 1) / 2.0) * T0 * UV_AVG_SPACING))
+            if not voiced and uv_boundary_clamp:
+                # Transition-aware placement (round 5, vuv_boundary +
+                # unvoiced classes): shift any sub-window that would cross
+                # into an adjacent VOICED run back inside this unvoiced
+                # run.  Near a boundary the crossing window reads pulse
+                # energy into the noise envelope; synthesis then renders
+                # that energy as FRESH noise on top of the re-analyzed
+                # voiced leak — a round-trip double-count worth ~0.13 dB
+                # on the boundary class and ~0.17 dB on unvoiced-steady
+                # (whose 9-window span reaches 14 ms).  The shift keeps
+                # all K averaging windows (estimator variance unchanged)
+                # and is a no-op away from boundaries.
+                wlo = c - half + off
+                whi = c + half + off
+                if wlo < run_lo[i]:
+                    off += max(0, min(run_lo[i] - wlo, run_hi[i] - whi))
+                elif whi > run_hi[i]:
+                    off -= max(0, min(whi - run_hi[i], wlo - run_lo[i]))
             idx = np.arange(c - half + off, c + half + 1 + off)
             seg = np.zeros(len(idx))
             ok = (idx >= 0) & (idx < len(x))
@@ -629,6 +690,34 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
         full[n_bins:] = lif[1:-1][::-1]
         sp[i] = np.exp(np.fft.rfft(cep * full).real[:n_bins])
     return sp
+
+
+def _uv_run_bounds(f0, temporal_positions, fs, f0_floor):
+    """Per-frame sample bounds of the frame's own voicing run, for the
+    unvoiced sub-window clamp in cheaptrick (and its C++ twin — integer
+    arithmetic only, ties-to-even center rounding, so the two stay
+    decision-exact).  Boundaries sit midway between adjacent frame
+    centers; run edges at the signal ends carry +-inf sentinels so the
+    clamp only engages toward an adjacent VOICED run, never at the file
+    edge (windows there legitimately hang off into zero padding)."""
+    T = len(f0)
+    v = np.asarray(f0) > f0_floor / 2
+    centers = np.asarray(
+        np.round(np.asarray(temporal_positions) * fs), dtype=np.int64)
+    big = np.int64(1) << 60
+    lo = np.full(T, -big, dtype=np.int64)
+    hi = np.full(T, big, dtype=np.int64)
+    i = 0
+    while i < T:
+        j = i
+        while j < T and v[j] == v[i]:
+            j += 1
+        if i > 0:
+            lo[i:j] = (centers[i - 1] + centers[i]) // 2
+        if j < T:
+            hi[i:j] = (centers[j - 1] + centers[j]) // 2
+        i = j
+    return lo, hi
 
 
 def _linear_smoothing(ps, width_hz, fs, fft_size):

@@ -32,6 +32,14 @@ Config surface matches the reference (hparams.py:111-122, 211-222):
 ``use_relu`` selects g = relu (else tanh), ``rnn_dropout`` is applied to the
 layer input, ``dropout`` between layers, ``bidirectional`` concatenates an
 independent reversed-direction unit.
+
+Dropout is VARIATIONAL (one (B, D) mask per application, shared across all
+timesteps), matching the reference's SRU implementation
+(cuda_functional.SRU draws ``get_dropout_mask_((batch, dim))`` and expands
+it over time for both ``rnn_dropout`` and the inter-layer ``dropout``) —
+unlike torch's per-element nn.Dropout used by the LSTM family.  On TPU this
+is also ~T x cheaper rng (the per-timestep masks were ~109M rng draws per
+step at the bench shape, a measurable slice of the fused step's glue time).
 """
 
 from __future__ import annotations
@@ -166,6 +174,17 @@ class SRU(nn.Module):
     use_relu: int = 0
     compute_dtype: str = "float32"
 
+    def _vdrop(self, x, rate, deterministic):
+        """Variational dropout on a time-major (T, B, D) block: ONE
+        (B, D) Bernoulli mask shared across all timesteps (the reference
+        SRU's get_dropout_mask_((batch, dim)).expand_as(x) semantics)."""
+        if deterministic or rate <= 0.0:
+            return x
+        keep = 1.0 - rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (1,) + x.shape[1:])
+        return x * (mask.astype(x.dtype) / keep)
+
     @nn.compact
     def __call__(self, x, lengths=None, deterministic=True):
         lengths = default_lengths(x, lengths)
@@ -175,9 +194,7 @@ class SRU(nn.Module):
         out = jnp.swapaxes(x, 0, 1)
         out, lengths, (T0, B0) = pad_rnn_stack(out, lengths)
         for layer in range(self.num_layers):
-            inp = out
-            if self.rnn_dropout > 0:
-                inp = nn.Dropout(self.rnn_dropout)(inp, deterministic=deterministic)
+            inp = self._vdrop(out, self.rnn_dropout, deterministic)
             fwd = SRULayer(self.hidden_dim, self.use_relu, self.compute_dtype,
                            name=f"l{layer}_fwd")(inp, lengths)
             if self.bidirectional:
@@ -188,5 +205,5 @@ class SRU(nn.Module):
             else:
                 out = fwd
             if self.dropout > 0 and layer < self.num_layers - 1:
-                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+                out = self._vdrop(out, self.dropout, deterministic)
         return jnp.swapaxes(out[:T0, :B0], 0, 1)

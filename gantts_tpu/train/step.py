@@ -300,8 +300,11 @@ class GanTrainer:
         holds (K,)-stacked scalars."""
         key = (bool(train), "multi")
         if key not in self._jitted:
-            def fused(gstate, dstate, ref_params, xs, ys, lengths_s, R,
-                      zs, adv_w, rng):
+            import os as _os
+            use_scan = bool(_os.environ.get("GANTTS_TPU_MULTISTEP_SCAN"))
+
+            def fused_scan(gstate, dstate, ref_params, xs, ys, lengths_s,
+                           R, zs, adv_w, rng):
                 def body(carry, batch):
                     gstate, dstate, rng = carry
                     if zs is None:
@@ -319,8 +322,32 @@ class GanTrainer:
                     body, (gstate, dstate, rng), seq)
                 return gstate, dstate, outs, rng
 
+            def fused_unrolled(gstate, dstate, ref_params, xs, ys,
+                               lengths_s, R, zs, adv_w, rng):
+                # Straight-line K-step body (K = trace-time leading axis):
+                # unlike lax.scan, there is no loop carry, so XLA aliases
+                # the G/D/optimizer state buffers through every step
+                # in-place instead of double-buffering them per iteration
+                # (measured +0.8 ms/step of pure state copy at the bench
+                # shape).  Same order, same chained rng -> bit-identical
+                # to sequential steps (pinned in tests/test_train.py).
+                outs = []
+                for k in range(xs.shape[0]):
+                    gstate, dstate, out, rng = self._step(
+                        train, gstate, dstate, ref_params, xs[k], ys[k],
+                        lengths_s[k], R, zs[k] if zs is not None else None,
+                        adv_w, rng)
+                    outs.append(out)
+                outs = jax.tree_util.tree_map(
+                    lambda *ls: jnp.stack(ls), *outs)
+                return gstate, dstate, outs, rng
+
+            # GANTTS_TPU_MULTISTEP_SCAN=1 restores the lax.scan form (K x
+            # smaller program — safety valve for axon's remote-compile
+            # program-size limit at very large K or model sizes).
             self._jitted[key] = jax.jit(
-                fused, donate_argnums=(0, 1) if train else ())
+                fused_scan if use_scan else fused_unrolled,
+                donate_argnums=(0, 1) if train else ())
         return self._jitted[key]
 
     def _step(self, train, gstate, dstate, ref_params, x, y, lengths, R, z,

@@ -141,12 +141,13 @@ def test_checked_in_headline_is_healthy():
     assert cls["voiced_steady"] <= 0.4, cls
     assert cls["unvoiced_steady"] <= floor + 1.0, (cls, floor)
     # boundary class gated against ITS intrinsic floor: the phase/noise
-    # co-render limit any non-phase-preserving vocoder faces (round-4
-    # measurement: floor 1.42, system 1.88 after the d4c transition-aware
-    # window clamp; the pre-clamp 2.06 would trip this gate)
+    # co-render limit any non-phase-preserving vocoder faces (round-5
+    # measurement: floor 1.40, system 1.66 after the cheaptrick unvoiced
+    # sub-window clamp + harvest onset re-probe; round 4's 1.85 would trip
+    # this gate)
     bfloor = fid["vuv_boundary_corender_floor_db"]
-    assert cls["vuv_boundary"] <= 2.0, cls
-    assert cls["vuv_boundary"] <= bfloor + 0.55, (cls, bfloor)
+    assert cls["vuv_boundary"] <= 1.85, cls
+    assert cls["vuv_boundary"] <= bfloor + 0.4, (cls, bfloor)
 
 
 def test_checked_in_condition_rows_are_healthy():

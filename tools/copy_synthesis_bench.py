@@ -190,7 +190,13 @@ def f0_metrics(f0_est, f0_true, vuv_true, edge_tol=2):
 
 def frame_mcd(x, y, order=24, fs=None):
     """Per-frame mel-cepstral distortion (dB) between two waveforms,
-    co-analyzed on x's dio grid (c1..c_order)."""
+    co-analyzed on x's dio grid (c1..c_order).
+
+    The co-analysis runs with ``uv_boundary_clamp=False``: the MEASUREMENT
+    instrument stays fixed across rounds (the production analyzer's
+    round-5 transition-aware window placement de-blurs boundary frames,
+    which re-bases every distance — both systems' numbers and the
+    co-render floors — by ~+0.15 dB without any waveform changing)."""
     from gantts_tpu.frontend import sptk, world
 
     if fs is None:
@@ -198,8 +204,9 @@ def frame_mcd(x, y, order=24, fs=None):
     n = min(len(x), len(y))
     x, y = x[:n], y[:n]
     f0x, tx = world.dio(x, fs)
-    spx = world.cheaptrick(x, f0x, tx, fs)
-    spy = world.cheaptrick(y, f0x, tx, fs)  # same time grid
+    spx = world.cheaptrick(x, f0x, tx, fs, uv_boundary_clamp=False)
+    spy = world.cheaptrick(y, f0x, tx, fs,  # same time grid
+                           uv_boundary_clamp=False)
     alpha = sptk.mcepalpha(fs)
     mcx = sptk.sp2mc(spx, order=order, alpha=alpha)
     mcy = sptk.sp2mc(spy, order=order, alpha=alpha)
