@@ -322,13 +322,21 @@ def make_tts_corpus(root, num=10, fs=16000, seed=0, states=5,
     return root
 
 
-def make_arctic_vc_corpus(root, num=12, fs=16000, seed=0):
+def make_arctic_vc_corpus(root, num=12, fs=16000, seed=0,
+                          articulation_scatter=0.0):
     """Synthetic CMU-ARCTIC-layout parallel corpus for the VC demo:
     <root>/cmu_us_{clb,slt}_arctic/wav/arctic_a%04d.wav.  Pair i shares a
     phone sequence (same syllabified plan, rendered by the speech-like
     source-filter synthesizer) but the two 'speakers' differ in vocal-tract
     scale (formant ratio), F0 register, and per-segment durations
-    (DTW-alignable), like a real cross-speaker parallel corpus."""
+    (DTW-alignable), like a real cross-speaker parallel corpus.
+
+    ``articulation_scatter`` > 0 jitters each segment's formant targets
+    INDEPENDENTLY per speaker: target-side variability the source speaker's
+    features do not encode, so a conditional-mean VC model must regress
+    toward the mean and genuinely oversmooth (the precondition for the
+    reference's published GV-recovery claim; see RESULTS.md).  The default
+    0.0 keeps every earlier corpus bit-identical (no extra rs draws)."""
     rs = np.random.RandomState(seed)
     from scipy.io import wavfile
 
@@ -362,7 +370,8 @@ def make_arctic_vc_corpus(root, num=12, fs=16000, seed=0):
                         for (ph, nf), st in zip(plan, stretch)]
             x = synth_speechlike(spk_plan, fs, hop, rs, base_f0,
                                  formant_scale=cfg["formant_scale"],
-                                 f0_scale=cfg["f0_scale"])
+                                 f0_scale=cfg["f0_scale"],
+                                 articulation_scatter=articulation_scatter)
             wavfile.write(
                 join(root, f"cmu_us_{spk}_arctic", "wav",
                      f"arctic_a{i:04d}.wav"), fs,

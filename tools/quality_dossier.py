@@ -136,10 +136,15 @@ def main():
     # corpus dirs are size-suffixed so changing n regenerates; stale
     # checkpoint/log/generated dirs from a previous run are cleared below
     # (ScalarWriter appends, and final() must only see this run's epochs).
-    vc_corpus = join(root, f"arctic{n_vc}")
+    # Both corpora carry per-segment articulation scatter (acoustic
+    # variability the inputs do NOT encode) so the MGE baselines genuinely
+    # oversmooth — the precondition for the reference's GV-recovery claim
+    # (fixtures.py docstrings; round-4 finding in RESULTS.md).
+    vc_corpus = join(root, f"arctic{n_vc}_scatter")
     tts_corpus = join(root, f"slt{n_tts}")
     if not os.path.isdir(vc_corpus):
-        make_arctic_vc_corpus(vc_corpus, num=n_vc)
+        make_arctic_vc_corpus(vc_corpus, num=n_vc,
+                              articulation_scatter=0.06)
     if not os.path.isdir(tts_corpus):
         make_tts_corpus(tts_corpus, num=n_tts)
     import shutil
@@ -163,16 +168,29 @@ def main():
             results = json.load(f)  # keep the half we are not rerunning
     run_vc = args.only in ("vc", "all")
     run_tts = args.only in ("tts", "all")
+    # fixture revision stamp: detectable provenance drift (a fixture
+    # rewrite invalidates every row measured on the old corpus)
+    fix_rev = subprocess.run(
+        ["git", "hash-object", join(REPO, "tests", "fixtures.py")],
+        capture_output=True, text=True).stdout.strip()
+    prov = results.setdefault("_provenance", {})
+    if prov.get("fixtures_blob") not in (None, fix_rev) and args.only != "all":
+        print(f"WARNING: fixtures.py changed ({prov['fixtures_blob'][:10]} "
+              f"-> {fix_rev[:10]}) but --only={args.only} keeps the other "
+              "half's rows from the OLD corpus", file=sys.stderr)
+    prov["fixtures_blob"] = fix_rev
     if run_vc:
         results["workload"]["vc"] = (
             f"{n_vc} synthetic parallel utterances (tests/fixtures.py "
-            f"make_arctic_vc_corpus), {vc_env['TOTAL_EPOCH']} epochs")
+            f"make_arctic_vc_corpus, articulation_scatter=0.06), "
+            f"{vc_env['TOTAL_EPOCH']} epochs")
     if run_tts:
         knobs = "".join(
             f", {k}={tts_env[k]}" for k in ("ADV_HPARAMS", "W_D")
             if k in tts_env)
         results["workload"]["tts"] = (
-            f"{n_tts} synthetic labelled utterances (make_tts_corpus), "
+            f"{n_tts} synthetic labelled utterances (make_tts_corpus, "
+            f"speech-like + articulation scatter), "
             f"duration {tts_env['DURATION_EPOCHS']} / acoustic "
             f"{tts_env['ACOUSTIC_EPOCHS']} epochs, batch_size=8" + knobs)
     # importing gantts_tpu first honors GANTTS_TPU_PLATFORM (plain
