@@ -92,10 +92,11 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
 
     rs = np.random.RandomState(0)
     # K training steps per dispatch — train.py's single-device default
-    # (trainer.multi_step_fn: lax.scan over the stacked batches,
-    # bit-identical to K sequential steps).  Donation serializes each
-    # dispatch RPC (~2-6 ms on the axon tunnel) against the device queue,
-    # so the unfused path measures tunnel latency as much as the chip.
+    # (trainer.multi_step_fn: straight-line K-step unroll so XLA aliases
+    # the G/D/optimizer state in place; bit-identical to K sequential
+    # steps).  Donation serializes each dispatch RPC (~2-6 ms on the axon
+    # tunnel) against the device queue, so the unfused path measures
+    # tunnel latency as much as the chip.
     K = 8
     xh = rs.rand(batch, T, in_dim).astype(np.float32)
     yh = rs.rand(batch, T, out_dim).astype(np.float32)

@@ -410,11 +410,19 @@ def test_adv_weight_zero_adv_loss_is_clipped_not_crash():
     assert adv_weight(1.0, 0.0, 0.0) == 0.0
 
 
-def test_multi_step_fn_matches_sequential():
-    """The fused K-steps-per-dispatch driver (GanTrainer.multi_step_fn,
-    lax.scan over stacked batches) must be step-for-step identical to K
-    sequential step_fn calls: same updated params, same per-step scalars,
-    same chained dropout key."""
+@pytest.mark.parametrize("scan_form", [False, True])
+def test_multi_step_fn_matches_sequential(scan_form, monkeypatch):
+    """The fused K-steps-per-dispatch driver (GanTrainer.multi_step_fn)
+    must be step-for-step identical to K sequential step_fn calls: same
+    updated params, same per-step scalars, same chained dropout key.
+    Both program forms are pinned: the default straight-line unroll
+    (XLA aliases the G/D/optimizer state in place) and the
+    GANTTS_TPU_MULTISTEP_SCAN=1 lax.scan fallback (K x smaller program
+    for axon's remote-compile size limit)."""
+    if scan_form:
+        monkeypatch.setenv("GANTTS_TPU_MULTISTEP_SCAN", "1")
+    else:
+        monkeypatch.delenv("GANTTS_TPU_MULTISTEP_SCAN", raising=False)
     import jax
     import jax.numpy as jnp
 
