@@ -235,3 +235,25 @@ def test_compute_dtype_bf16_close_to_f32(name):
     g = jax.grad(loss)(v)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_sru_dropout_is_variational():
+    """SRU dropout (rnn_dropout + inter-layer) matches the reference SRU's
+    semantics: ONE (B, D) Bernoulli mask shared across every timestep
+    (cuda_functional get_dropout_mask_((batch, dim)).expand_as(x)), with
+    inverted scaling — not torch nn.Dropout's per-element masks."""
+    from gantts_tpu.models.sru import SRU
+
+    m = SRU(hidden_dim=8, num_layers=1)
+    x = jnp.ones((16, 4, 6), jnp.float32)  # time-major (T, B, D)
+    y = np.asarray(m.apply({}, x, 0.5, False, method=SRU._vdrop,
+                           rngs={"dropout": jax.random.PRNGKey(0)}))
+    assert np.all(y == y[0])                      # same mask at every t
+    assert set(np.unique(y).tolist()) <= {0.0, 2.0}   # 1/keep scaling
+    assert 0.0 in np.unique(y)                    # something was dropped
+    y2 = np.asarray(m.apply({}, x, 0.5, True, method=SRU._vdrop,
+                            rngs={"dropout": jax.random.PRNGKey(0)}))
+    np.testing.assert_array_equal(y2, np.asarray(x))  # eval mode: identity
+    y3 = np.asarray(m.apply({}, x, 0.5, False, method=SRU._vdrop,
+                            rngs={"dropout": jax.random.PRNGKey(1)}))
+    assert not np.array_equal(y, y3)              # fresh key, fresh mask
