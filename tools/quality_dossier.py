@@ -57,7 +57,7 @@ def final(jsonl_path, tag):
     return round(float(series[-1][1]), 4) if series else None
 
 
-def run(cmd, cwd, env_extra, timeout=7200):
+def run(cmd, cwd, env_extra, timeout=14400):
     env = dict(os.environ, **env_extra)
     t0 = time.time()
     r = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
@@ -96,8 +96,13 @@ def main():
                    help="extra hparams for the GAN stages only "
                         "(train_gan.sh ADV_HPARAMS, e.g. a gentler "
                         "stage-5 lr)")
-    p.add_argument("--w-d", default="", dest="w_d",
-                   help="stage-5 adversarial weight (train_gan.sh W_D)")
+    p.add_argument("--w-d", default="0.3", dest="w_d",
+                   help="stage-5 adversarial weight (train_gan.sh W_D). "
+                        "Default 0.3: the only swept point that passes "
+                        "BOTH dossier gates at demo scale on the scatter "
+                        "corpus (docs/tts_gan_sweep.json wd0.3@250 — "
+                        "deficit ratio 0.772, MCD x1.22; the reference's "
+                        "production w_d=1.0 needs slt_arctic-scale data)")
     p.add_argument("--out-json", default=join(REPO, "results.json"))
     p.add_argument("--out-md", default=join(REPO, "RESULTS.md"))
     args = p.parse_args()
