@@ -46,14 +46,18 @@ def test_all_five_configs_report(results):
 
 
 def test_absolute_distortion_bounds(results):
-    """Ceilings pinned from the demo-scale run this gate ships with
-    (generous +~30% headroom for curriculum seed drift, not targets)."""
-    assert results["vc_in2out_baseline"]["test_mcd_db"] < 6.5
-    assert results["vc_in2out_gan"]["test_mcd_db"] < 6.5
-    assert results["tts_acoustic_baseline"]["test_mcd_db"] < 6.5
-    assert results["tts_acoustic_gan"]["test_mcd_db"] < 6.5
-    assert results["tts_duration"]["test_dur_rmse_frames"] < 10.0
-    assert results["tts_acoustic_gan"]["test_vuv_err"] < 0.25
+    """Ceilings = the round-5 dossier's measured values +15% (round-3/4
+    review ask).  Measured (scatter corpora, W_D=0.2 stage 5): VC baseline
+    3.5589 / GAN 3.7777; TTS baseline 3.3717 / GAN 4.1885 dB; duration
+    RMSE 1.1362 frames; vuv_err 0.0954.  These gate the CHECKED-IN
+    results.json — a regeneration that blows past its own predecessor by
+    >15% is a regression to investigate, not noise."""
+    assert results["vc_in2out_baseline"]["test_mcd_db"] < 4.10
+    assert results["vc_in2out_gan"]["test_mcd_db"] < 4.35
+    assert results["tts_acoustic_baseline"]["test_mcd_db"] < 3.88
+    assert results["tts_acoustic_gan"]["test_mcd_db"] < 4.82
+    assert results["tts_duration"]["test_dur_rmse_frames"] < 1.31
+    assert results["tts_acoustic_gan"]["test_vuv_err"] < 0.11
 
 
 def test_gan_reduces_oversmoothing_vs_baseline(results):
@@ -63,26 +67,32 @@ def test_gan_reduces_oversmoothing_vs_baseline(results):
                           ("tts_acoustic_baseline", "tts_acoustic_gan")]:
         base, gan = results[base_k], results[gan_k]
         # GV ratio (generated/natural mean GV): oversmoothing drives it
-        # below 1.  When the baseline itself oversmooths (<0.95) the GAN
-        # must land closer to 1; when the baseline is already
-        # GV-transparent there is nothing to improve on this measure
-        # (the modspec gate below is then the binding one), so only
-        # require the GAN to STAY near-natural — a collapsed stage
-        # (e.g. the diverged run this gate was written against, gv_ratio
-        # 0.0026) still fails loudly.
-        if base["gv_ratio"] < 0.95:
-            assert abs(1.0 - gan["gv_ratio"]) <= abs(1.0 - base["gv_ratio"]) \
-                + 0.02, (base_k, base["gv_ratio"], gan["gv_ratio"])
-        else:
-            assert abs(1.0 - gan["gv_ratio"]) <= \
-                max(0.15, abs(1.0 - base["gv_ratio"]) + 0.02), \
-                (base_k, base["gv_ratio"], gan["gv_ratio"])
+        # below 1.  The GAN must land at least as close to 1 as the
+        # baseline (+0.02 tolerance) — measured round-5: VC 1.0413 ->
+        # 1.0114, TTS 0.9923 -> 1.0164, both strictly closer — with a
+        # 0.05 absolute allowance so a near-natural pair isn't failed on
+        # basis-point jitter.  (The old 0.15 lenient cap is gone; the
+        # diverged run this gate was first written against had gv_ratio
+        # 0.0026 and fails every branch.)
+        assert abs(1.0 - gan["gv_ratio"]) <= \
+            max(abs(1.0 - base["gv_ratio"]) + 0.02, 0.05), \
+            (base_k, base["gv_ratio"], gan["gv_ratio"])
         # High-band modulation-spectrum deficit vs natural (dB, positive =
-        # under-modulated): GAN must shrink it.
-        assert gan["modspec_hi_band_deficit_db"] <= \
-            base["modspec_hi_band_deficit_db"] + 0.1, \
-            (base_k, base["modspec_hi_band_deficit_db"],
-             gan["modspec_hi_band_deficit_db"])
+        # under-modulated): where the baseline meaningfully oversmooths
+        # (>= 3 dB deficit) the GAN must CUT the deficit by >= 15% (the
+        # round-4 review's bar; measured: TTS 14.005 -> 10.861 = 0.776x,
+        # VC 1.922 -> 0.565 = 0.294x); a near-transparent baseline only
+        # requires no regression.
+        if base["modspec_hi_band_deficit_db"] >= 3.0:
+            assert gan["modspec_hi_band_deficit_db"] <= \
+                0.85 * base["modspec_hi_band_deficit_db"], \
+                (base_k, base["modspec_hi_band_deficit_db"],
+                 gan["modspec_hi_band_deficit_db"])
+        else:
+            assert gan["modspec_hi_band_deficit_db"] <= \
+                base["modspec_hi_band_deficit_db"] + 0.1, \
+                (base_k, base["modspec_hi_band_deficit_db"],
+                 gan["modspec_hi_band_deficit_db"])
 
 
 def test_gan_does_not_blow_up_distortion(results):

@@ -96,13 +96,17 @@ def main():
                    help="extra hparams for the GAN stages only "
                         "(train_gan.sh ADV_HPARAMS, e.g. a gentler "
                         "stage-5 lr)")
-    p.add_argument("--w-d", default="0.3", dest="w_d",
+    p.add_argument("--w-d", default="0.2", dest="w_d",
                    help="stage-5 adversarial weight (train_gan.sh W_D). "
-                        "Default 0.3: the only swept point that passes "
-                        "BOTH dossier gates at demo scale on the scatter "
-                        "corpus (docs/tts_gan_sweep.json wd0.3@250 — "
-                        "deficit ratio 0.772, MCD x1.22; the reference's "
-                        "production w_d=1.0 needs slt_arctic-scale data)")
+                        "Default 0.2: measured through THIS pipeline "
+                        "(full two-stage synthesis + waveform "
+                        "re-analysis) it passes every dossier gate with "
+                        "margin — deficit ratio 0.776, MCD x1.24, GV "
+                        "0.99->1.02 (docs/tts_gan_sweep.json "
+                        "dossier_* rows; w_d=0.3 measured x1.38 on the "
+                        "dossier operator, over the x1.35 blow-up gate; "
+                        "the reference's production w_d=1.0 needs "
+                        "slt_arctic-scale data)")
     p.add_argument("--out-json", default=join(REPO, "results.json"))
     p.add_argument("--out-md", default=join(REPO, "RESULTS.md"))
     args = p.parse_args()
@@ -288,12 +292,19 @@ def main():
           f"`{results['workload']['device']}`; corpora: {corpora}.",
           "",
           "Regression-gated by `tests/test_results_dossier.py`. "
-          "The adversarial configs must beat (or match) MGE-only on the "
-          "oversmoothing evidence — a smaller high-band "
-          "modulation-spectrum deficit vs natural, and a GV ratio closer "
-          "to 1 wherever the baseline actually oversmooths (else merely "
-          "staying near-natural) — the reference's notebook-published "
-          "claim, here as numbers.",
+          "The adversarial configs must beat MGE-only on BOTH "
+          "oversmoothing measures — cut the high-band "
+          "modulation-spectrum deficit vs natural by >=15% and land the "
+          "GV ratio at least as close to 1 as the baseline — while "
+          "holding test MCD within x1.35 and every absolute distortion "
+          "within measured+15% — the reference's notebook-published "
+          "claim (GV/modspec recovery without quality collapse), here "
+          "as numbers.",
+          "",
+          "Stage-5 adversarial weight at this corpus scale: `W_D=0.2` "
+          "(production default 1.0 needs slt_arctic-scale data; "
+          "knob history in `docs/tts_gan_sweep.json`, incl. the "
+          "dossier-operator rows that set this default).",
           "",
           "| config | metrics |",
           "|---|---|"]

@@ -23,11 +23,13 @@ ACOUSTIC_EPOCHS=${ACOUSTIC_EPOCHS:-50}
 G_WARMUP=${G_WARMUP:-10}
 D_WARMUP=${D_WARMUP:-5}
 HPARAMS_EXTRA=${HPARAMS_EXTRA:-}
-# At demo scale (~a few hundred utterances) export W_D=0.3 before running:
+# At demo scale (~a few hundred utterances) export W_D=0.2 before running:
 # the production stage-5 weight W_D=1.0 (train_gan.sh default, reference
 # semantics) needs slt_arctic-scale data — at 250 utts it trades too much
-# MCD for texture, while 0.3 passes both dossier gates
-# (docs/tts_gan_sweep.json wd0.3@250; train_gan.sh inherits W_D from env).
+# MCD for texture.  Measured through the full dossier pipeline
+# (docs/tts_gan_sweep.json dossier_* rows): 0.2 passes every gate with
+# margin (deficit 0.776x, MCD x1.24, GV 0.99->1.02) while 0.3 trips the
+# MCD blow-up bound (x1.38).  train_gan.sh inherits W_D from env.
 
 DATA_DIR=data/slt_arctic_tts_$EXP_ID
 CKPT=checkpoints/tts_$EXP_ID
