@@ -97,7 +97,7 @@ def bench_jax_tpu(hp, batch, in_dim, out_dim, steps=30, warmup=3,
     # steps).  Donation serializes each dispatch RPC (~2-6 ms on the axon
     # tunnel) against the device queue, so the unfused path measures
     # tunnel latency as much as the chip.
-    K = 8
+    K = 16
     xh = rs.rand(batch, T, in_dim).astype(np.float32)
     yh = rs.rand(batch, T, out_dim).astype(np.float32)
     lh = np.r_[rs.randint(T // 2, T, batch - 1), T].astype(np.int32)

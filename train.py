@@ -65,9 +65,9 @@ def build_arg_parser():
     p.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
                    type=int, default=0,
                    help="training steps fused into one device dispatch "
-                        "(lax.scan over stacked same-shape batches; "
-                        "bit-identical to unfused). 0 = auto: 8 on a "
-                        "single device, 1 under data parallelism")
+                        "(straight-line unroll over stacked same-shape "
+                        "batches; bit-identical to unfused). 0 = auto: "
+                        "16 on a single device, 1 under data parallelism")
     p.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="capture a jax.profiler trace of one epoch here")
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
@@ -229,8 +229,12 @@ def main(argv=None):
         trainer = GanTrainer(model_g, model_d, tx_g, tx_d, cfg, Y_mean,
                              Y_std, windows=hp.windows)
 
+    # K=16 measured best on the axon tunnel (bench.py: 531.9k -> 543.9k
+    # frames/s over K=8 — the per-dispatch RPC is ~4-5 ms, so halving the
+    # dispatch count buys ~0.3 ms/step; K=32 is inside run-to-run noise
+    # and doubles program size/compile time again)
     spd = args.steps_per_dispatch if args.steps_per_dispatch > 0 \
-        else (8 if trainer.supports_multi_step else 1)
+        else (16 if trainer.supports_multi_step else 1)
 
     print(f"Start training from epoch {global_epoch}")
     gstate, dstate, final_epoch = train_loop(
