@@ -19,6 +19,14 @@
 
 extern "C" {
 
+// ABI version of this library's exported surface.  BUMP whenever any
+// exported function's signature changes IN PLACE (a stale prebuilt .so
+// would otherwise be called through a mismatched ctypes prototype —
+// undefined behavior, typically SIGSEGV, instead of the clean NumPy
+// fallback).  gantts_tpu/frontend/native.py refuses a library whose
+// reported ABI differs from its expected value.
+long long gantts_frontend_abi(void) { return 2; }
+
 // ---------------------------------------------------------------------------
 // MLSA synthesis filter (Pade(5) approximation of exp(F(z)); see
 // gantts_tpu/frontend/sptk.py for the derivation and the oracle).

@@ -22,6 +22,14 @@ _LIB_PATHS = [
     join(_REPO, "cpp", "libgantts_frontend.so"),
 ]
 
+# Expected ABI of the exported surface (cpp/frontend.cpp
+# gantts_frontend_abi).  A library reporting anything else is refused:
+# signatures have changed in place before (round 5: cheaptrick_frames
+# gained uv_clamp mid-argument-list), and calling a stale .so through the
+# new ctypes prototypes is undefined behavior (SIGSEGV), not a clean
+# AttributeError the per-symbol guards below could catch.
+_ABI = 2
+
 _lib = None
 _tried = False
 # Eval CLIs fan work out over threads (--workers); first use would otherwise
@@ -57,6 +65,25 @@ def _load():
         return _lib
 
 
+def _sources_newer_than(lib_path):
+    """True if any C++ source/buildfile is newer than the built library.
+
+    Checked BEFORE dlopen: rebuilding after CDLL would not help (dlopen
+    of the same path returns the already-mapped stale image while a
+    handle is live)."""
+    try:
+        lib_mtime = os.path.getmtime(lib_path)
+    except OSError:
+        return True
+    for src in ("frontend.cpp", "CMakeLists.txt"):
+        try:
+            if os.path.getmtime(join(_REPO, "cpp", src)) > lib_mtime:
+                return True
+        except OSError:
+            pass
+    return False
+
+
 def _load_locked():
     for p in _LIB_PATHS:
         if exists(p):
@@ -69,14 +96,33 @@ def _load_locked():
         p = _LIB_PATHS[0]
         if not exists(p):
             return None
+    if p == _LIB_PATHS[0] and _sources_newer_than(p) \
+            and not os.environ.get("GANTTS_TPU_NO_NATIVE"):
+        _build()  # stale in-repo build: refresh before first dlopen
     try:
         lib = ctypes.CDLL(p)
     except OSError:
         return None
 
+    # Hard ABI gate (see _ABI).  Missing symbol = pre-versioning build.
+    try:
+        lib.gantts_frontend_abi.restype = ctypes.c_longlong
+        if int(lib.gantts_frontend_abi()) != _ABI:
+            return None
+    except AttributeError:
+        return None
+
     c_double_p = ctypes.POINTER(ctypes.c_double)
     c_int32_p = ctypes.POINTER(ctypes.c_int32)
 
+    try:
+        _bind_base(lib, c_double_p, c_int32_p)
+    except AttributeError:  # right ABI but missing base entry points
+        return None
+    return lib
+
+
+def _bind_base(lib, c_double_p, c_int32_p):
     lib.mlsa_synthesis.argtypes = [
         c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64,
         ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int, c_double_p]

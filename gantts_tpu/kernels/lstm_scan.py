@@ -525,15 +525,7 @@ def fused_lstm_proj_layer(x, w_ih, w_hh, bias, lengths, reverse=False,
     Dp = _round_up(max(D, 1), 128)
     Hp = _round_up(max(H, 1), 128)
     Tp = _round_up(max(T, 1), _FUSED_MAX_CHUNK)
-    if Hp != H:
-        w_ih = jnp.pad(w_ih.reshape(D, 4, H),
-                       ((0, 0), (0, 0), (0, Hp - H))).reshape(D, 4 * Hp)
-        w_hh = jnp.pad(w_hh.reshape(H, 4, H),
-                       ((0, Hp - H), (0, 0), (0, Hp - H))
-                       ).reshape(Hp, 4 * Hp)
-        bias = jnp.pad(bias.reshape(4, H), ((0, 0), (0, Hp - H))).reshape(-1)
-    if Dp != D:
-        w_ih = jnp.pad(w_ih, ((0, Dp - D), (0, 0)))
+    w_ih, w_hh, bias = _pad_lstm_weights(w_ih, w_hh, bias, D, H, Dp, Hp)
     if (Tp, Bp, Dp) != (T, B, D):
         x = jnp.pad(x, ((0, Tp - T), (0, Bp - B), (0, Dp - D)))
     len_bc = jnp.broadcast_to(
@@ -600,7 +592,8 @@ def bilstm_proj_feasible(B, D, H, compute_dtype):
     # backward: residents 2x(W_hh + db block) + 4 f32 adjoint carries;
     # per-t lanes 2x(g4, dxp, c, cp, gh)
     bwd_resident = 2 * (Hp * 4 * Hp * s + 8 * 4 * Hp * 4) + 4 * Bp * Hp * 4
-    bwd_per_t = 2 * Bp * 2 * (4 * Hp * s + 4 * Hp * s + 2 * 4 + Hp * s)
+    # per-row lane bytes: g4 + dxp (4H io each) + c, cp (f32, Hp each) + gh
+    bwd_per_t = 2 * Bp * 2 * (4 * Hp * s + 4 * Hp * s + 2 * Hp * 4 + Hp * s)
     return bwd_per_t + bwd_resident <= _PROJ_BUDGET
 
 

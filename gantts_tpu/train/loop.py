@@ -93,6 +93,10 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
 
     E_loss_mge = 1.0
     E_loss_adv = 1.0
+    # Multi-step program form, remembered across phases/epochs once the
+    # scan fallback is taken (run_fused below) so a failing unrolled
+    # compile is not re-attempted every phase.  [None] = default.
+    mstep_form = [None]
 
     log = writer.log_value if writer is not None else (lambda *a: None)
 
@@ -132,7 +136,9 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
             # fused, the remainder one step at a time, order preserved.
             K = (max(1, int(steps_per_dispatch))
                  if getattr(trainer, "supports_multi_step", False) else 1)
-            mstep = trainer.multi_step_fn(train) if K > 1 else None
+            mstep = trainer.multi_step_fn(train, form=mstep_form[0]) \
+                if K > 1 else None
+            mstep_ran = False  # becomes True after the first fused dispatch
             pend, pend_key = [], None
 
             def run_one(x, y, lengths, z):
@@ -147,7 +153,7 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                 acc.append(out)
 
             def run_fused(chunk):
-                nonlocal gstate, dstate, rng
+                nonlocal gstate, dstate, rng, mstep, mstep_ran
                 xs, ys, ls, zs = trainer.put_stacked_batch(
                     np.stack([c[0] for c in chunk]),
                     np.stack([c[1] for c in chunk]),
@@ -156,9 +162,28 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                     if cfg.add_noise else None)
                 R = (r_cache.get(chunk[0][0].shape[1])
                      if r_cache is not None else None)
-                gstate, dstate, outs, rng = mstep(
-                    gstate, dstate, ref_params, xs, ys, ls, R, zs,
-                    adv_w_dev, rng)
+                try:
+                    gstate, dstate, outs, rng = mstep(
+                        gstate, dstate, ref_params, xs, ys, ls, R, zs,
+                        adv_w_dev, rng)
+                except Exception:
+                    if mstep_ran:
+                        raise  # the program has run before: real error
+                    # First fused dispatch failed — on axon the unrolled
+                    # K-step program can be rejected at REMOTE-COMPILE
+                    # time (HTTP 413 for large programs; CLAUDE.md).
+                    # Compile rejection happens before execution, so the
+                    # donated state buffers are still live: retry once
+                    # with the K-x-smaller lax.scan form before giving up
+                    # (same math, bit-identical steps).
+                    print("multi-step dispatch rejected; retrying with "
+                          "the lax.scan program form")
+                    mstep_form[0] = "scan"
+                    mstep = trainer.multi_step_fn(train, form="scan")
+                    gstate, dstate, outs, rng = mstep(
+                        gstate, dstate, ref_params, xs, ys, ls, R, zs,
+                        adv_w_dev, rng)
+                mstep_ran = True
                 acc.append(outs)  # (K,)-stacked scalars
 
             def drain(rest_single):

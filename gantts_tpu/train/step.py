@@ -287,21 +287,29 @@ class GanTrainer:
     # (on a mesh the per-dispatch overhead this amortizes is minor).
     supports_multi_step = True
 
-    def multi_step_fn(self, train: bool):
-        """K training steps per dispatch: ``lax.scan`` over K stacked
-        same-shape batches.  Bit-identical to K sequential ``step_fn``
-        calls (same order, same chained rng), but costs ONE dispatch —
-        on axon every dispatch is a ~2 ms tunnel RPC that donation
-        serializes with execution, so fusing K steps removes (K-1)/K of
-        that overhead.  K is a trace-time property of the stacked leading
-        axis; R/ref_params/adv_w are per-dispatch constants (passed as
+    def multi_step_fn(self, train: bool, form: str | None = None):
+        """K training steps per dispatch over K stacked same-shape
+        batches.  Bit-identical to K sequential ``step_fn`` calls (same
+        order, same chained rng), but costs ONE dispatch — on axon every
+        dispatch is a ~2 ms tunnel RPC that donation serializes with
+        execution, so fusing K steps removes (K-1)/K of that overhead.
+        K is a trace-time property of the stacked leading axis;
+        R/ref_params/adv_w are per-dispatch constants (passed as
         arguments, never baked in — axon rejects large closure
         constants).  Returns (gstate, dstate, outs, rng) where ``outs``
-        holds (K,)-stacked scalars."""
-        key = (bool(train), "multi")
+        holds (K,)-stacked scalars.
+
+        ``form``: "unrolled" (default; straight-line K-step body, states
+        alias in place) or "scan" (K-x-smaller program; also selected by
+        GANTTS_TPU_MULTISTEP_SCAN=1).  train/loop.py retries with "scan"
+        if the unrolled program is rejected at compile time."""
+        import os as _os
+        if form is None:
+            form = "scan" if _os.environ.get("GANTTS_TPU_MULTISTEP_SCAN") \
+                else "unrolled"
+        key = (bool(train), "multi", form)
         if key not in self._jitted:
-            import os as _os
-            use_scan = bool(_os.environ.get("GANTTS_TPU_MULTISTEP_SCAN"))
+            use_scan = form == "scan"
 
             def fused_scan(gstate, dstate, ref_params, xs, ys, lengths_s,
                            R, zs, adv_w, rng):

@@ -425,3 +425,49 @@ def test_analysis_edge_cases_do_not_crash():
                 assert ((ap > 0) & (ap <= 1)).all()
                 y = world.synthesize(f, sp, ap, fs)
                 assert np.isfinite(y).all()
+
+
+def test_stale_abi_library_is_refused(tmp_path, monkeypatch):
+    """A prebuilt .so whose exported surface predates (or disagrees with)
+    native._ABI must be REFUSED, not called: round 5 changed
+    cheaptrick_frames's signature in place, and calling a stale library
+    through the new ctypes prototypes is a SIGSEGV, not a catchable
+    AttributeError.  Compiles two dummy libraries: one without the
+    version symbol, one reporting a different ABI."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+
+    def build(src_text, name):
+        src = tmp_path / f"{name}.cpp"
+        so = tmp_path / f"lib{name}.so"
+        src.write_text(src_text)
+        subprocess.run(["g++", "-shared", "-fPIC", "-o", str(so), str(src)],
+                       check=True, capture_output=True)
+        return str(so)
+
+    no_sym = build("extern \"C\" int unrelated(void) { return 0; }", "nosym")
+    wrong = build("extern \"C\" long long gantts_frontend_abi(void)"
+                  "{ return %d; }" % (native._ABI + 1), "wrongabi")
+    good = build(
+        "extern \"C\" long long gantts_frontend_abi(void)"
+        "{ return %d; }\n"
+        "extern \"C\" void mlsa_synthesis(void) {}\n"
+        "extern \"C\" void ola_add(void) {}\n"
+        "extern \"C\" long long dtw_path(void) { return 0; }\n"
+        "extern \"C\" int banded_cholesky_solve(void) { return 1; }\n"
+        % native._ABI, "goodabi")
+
+    def load_via(path):
+        monkeypatch.setattr(native, "_LIB_PATHS", [path])
+        monkeypatch.setenv("GANTTS_TPU_NO_NATIVE", "1")  # no auto-rebuild
+        return native._load_locked()
+
+    assert load_via(no_sym) is None
+    assert load_via(wrong) is None
+    # sanity: the gate itself is what refused them (a right-ABI dummy
+    # passes the gate and only then would fail on missing entry points)
+    lib = load_via(good)
+    assert lib is not None

@@ -266,6 +266,31 @@ print("RESULT" + json.dumps(out, sort_keys=True), flush=True)
 '''
 
 
+def _communicate_all(procs, timeout=600):
+    """communicate() every process; on a HANG (the most common
+    distributed-flake mode — a coordinator that never comes up — which
+    raises TimeoutExpired rather than exiting nonzero) kill the whole
+    cluster and return None so the caller's retry loop treats it like a
+    crash instead of erroring out and leaking the sibling children."""
+    import subprocess
+
+    texts = []
+    hung = False
+    for p in procs:
+        try:
+            texts.append(p.communicate(timeout=timeout)[0])
+        except subprocess.TimeoutExpired:
+            hung = True
+            break
+    if hung:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        return None
+    return texts
+
+
 def _run_cluster(nprocs, nsteps=1, save_dir="", resume_dir="", step0=0,
                  retries=3):
     """Launch an nprocs-process CPU Gloo cluster of _MULTIHOST_PROG and
@@ -293,9 +318,10 @@ def _run_cluster(nprocs, nsteps=1, save_dir="", resume_dir="", step0=0,
              str(nprocs), str(nsteps), save_dir, resume_dir, str(step0)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=REPO, env=env) for i in range(nprocs)]
-        texts = [p.communicate(timeout=600)[0] for p in procs]
-        if any(p.returncode != 0 for p in procs):
-            return None, texts
+        texts = _communicate_all(procs)
+        if texts is None or any(p.returncode != 0 for p in procs):
+            return None, texts or ["<cluster hang: coordinator never "
+                                   "came up or a process deadlocked>"]
         return texts, texts
 
     for _ in range(retries):
@@ -493,9 +519,10 @@ def test_multihost_train_loop_mixed_shapes():
              REPO, "2"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=REPO, env=env) for i in range(2)]
-        texts = [p.communicate(timeout=600)[0] for p in procs]
-        if any(p.returncode != 0 for p in procs):
-            return None, texts
+        texts = _communicate_all(procs)
+        if texts is None or any(p.returncode != 0 for p in procs):
+            return None, texts or ["<cluster hang: coordinator never "
+                                   "came up or a process deadlocked>"]
         return texts, texts
 
     for _ in range(3):

@@ -494,3 +494,62 @@ def test_train_loop_steps_per_dispatch_identical(vc_corpus):
         if "per_sec" in n1 or "seconds" in n1:
             continue  # wall-clock series legitimately differ
         assert np.isclose(v1, v2, rtol=1e-5, atol=1e-7), (n1, v1, v2)
+
+
+def test_multi_step_rejected_program_falls_back_to_scan(monkeypatch):
+    """If the unrolled K-step program fails on its FIRST dispatch (axon
+    rejects large programs at remote-compile time, HTTP 413), train_loop
+    must retry with the K-x-smaller lax.scan form and finish the epoch —
+    and remember that choice for later phases instead of re-attempting
+    the failing compile."""
+    import jax
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.loop import train_loop
+    from gantts_tpu.train.setup import init_models_and_states
+
+    monkeypatch.delenv("GANTTS_TPU_MULTISTEP_SCAN", raising=False)
+    hp = _small_vc_hp()
+    hp.nepoch = 1
+    hp.generator_params.update(in_dim=57, out_dim=57)
+    hp.discriminator_params.update(in_dim=19)
+    cfg = StepConfig.from_hparams(hp, w_d=0.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=False, update_g=True)
+    model_g, model_d, tx_g, tx_d, gs, ds = init_models_and_states(hp)
+    tr = GanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                    np.zeros(57, np.float32), np.ones(57, np.float32),
+                    windows=hp.windows)
+
+    forms_requested = []
+    real = tr.multi_step_fn
+
+    def fake_multi_step_fn(train, form=None):
+        forms_requested.append(form)
+        if form != "scan":
+            def rejected(*a, **k):
+                raise RuntimeError("remote compile: HTTP 413 payload "
+                                   "too large (simulated)")
+            return rejected
+        return real(train, form=form)
+
+    monkeypatch.setattr(tr, "multi_step_fn", fake_multi_step_fn)
+
+    rs = np.random.RandomState(0)
+    B, T = 4, 32
+
+    def batch():
+        return (rs.rand(B, T, 57).astype(np.float32),
+                rs.rand(B, T, 57).astype(np.float32),
+                np.array([20, 32, 17, 32], np.int32))
+
+    loaders = {"train": [batch(), batch()], "test": [batch(), batch()]}
+    gs, ds, _ = train_loop(tr, gs, ds, None, loaders, hp, w_d=0.0,
+                           mse_w=0.0, mge_w=1.0, update_d=False,
+                           update_g=True, checkpoint_dir=None, writer=None,
+                           steps_per_dispatch=2)
+    # first phase asked for the default (None), fell back to scan; the
+    # second phase must start directly on scan (no repeated rejection)
+    assert forms_requested[0] is None
+    assert "scan" in forms_requested
+    assert forms_requested[-1] == "scan"
+    leaves = jax.tree_util.tree_leaves(jax.device_get(gs.params))
+    assert all(np.isfinite(leaf).all() for leaf in leaves)

@@ -177,17 +177,27 @@ def main():
             results = json.load(f)  # keep the half we are not rerunning
     run_vc = args.only in ("vc", "all")
     run_tts = args.only in ("tts", "all")
-    # fixture revision stamp: detectable provenance drift (a fixture
-    # rewrite invalidates every row measured on the old corpus)
+    # fixture revision stamp, PER HALF: detectable provenance drift (a
+    # fixture rewrite invalidates every row measured on the old corpus).
+    # A partial --only run must keep the other half's ORIGINAL stamp —
+    # overwriting it with the current hash would destroy the very drift
+    # evidence the stamp exists to preserve.
     fix_rev = subprocess.run(
         ["git", "hash-object", join(REPO, "tests", "fixtures.py")],
         capture_output=True, text=True).stdout.strip()
     prov = results.setdefault("_provenance", {})
-    if prov.get("fixtures_blob") not in (None, fix_rev) and args.only != "all":
-        print(f"WARNING: fixtures.py changed ({prov['fixtures_blob'][:10]} "
-              f"-> {fix_rev[:10]}) but --only={args.only} keeps the other "
-              "half's rows from the OLD corpus", file=sys.stderr)
-    prov["fixtures_blob"] = fix_rev
+    legacy = prov.pop("fixtures_blob", None)  # pre-round-5 single stamp
+    for half, rerun in (("vc", run_vc), ("tts", run_tts)):
+        key = f"fixtures_blob_{half}"
+        if rerun:
+            prov[key] = fix_rev
+        elif key not in prov and legacy is not None:
+            prov[key] = legacy
+    if prov.get("fixtures_blob_vc") != prov.get("fixtures_blob_tts"):
+        print(f"WARNING: results.json halves measured on DIFFERENT fixture "
+              f"revisions (vc {str(prov.get('fixtures_blob_vc'))[:10]} / "
+              f"tts {str(prov.get('fixtures_blob_tts'))[:10]}); rerun with "
+              "--only=all to unify", file=sys.stderr)
     if run_vc:
         results["workload"]["vc"] = (
             f"{n_vc} synthetic parallel utterances (tests/fixtures.py "

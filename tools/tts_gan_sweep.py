@@ -223,7 +223,8 @@ def main():
     if prov.get("fixtures_blob") not in (None, fix_rev):
         print(f"NOTE: fixtures.py changed ({prov['fixtures_blob'][:10]} -> "
               f"{fix_rev[:10]}); older points in {args.out} were measured "
-              "on a different corpus", file=sys.stderr)
+              "on a different corpus (each point carries its own "
+              "fixtures_blob stamp)", file=sys.stderr)
     prov["fixtures_blob"] = fix_rev
     prov["corpus"] = "tests/fixtures.py make_tts_corpus (speech-like, " \
         "articulation_scatter=0.06 + per-utterance speaker scatter)"
@@ -232,6 +233,9 @@ def main():
             join(base_ck, f"checkpoint_epoch{EPOCHS}_Generator.pth"), data),
         "train_mcd_db": final_scalar(join(base_ck, "log"),
                                      "train mcd metric"),
+        # per-point stamp: survives later partial reruns (the top-level
+        # _provenance.fixtures_blob only describes the LATEST run)
+        "fixtures_blob": fix_rev,
     }
     print("baseline%s:" % suffix,
           json.dumps(results["baseline" + suffix]))
@@ -279,6 +283,7 @@ def main():
             **eval_acoustic(final_g, data, extra),
             "train_mcd_db": final_scalar(join(pdir, "log"),
                                          "train mcd metric"),
+            "fixtures_blob": fix_rev,
         }
         base_def = results[
             "baseline" + suffix]["modspec_hi_band_deficit_db"]
