@@ -627,7 +627,10 @@ def cheaptrick(x, f0, temporal_positions, fs, q1=-0.15,
     T = len(f0)
     sp = np.empty((T, n_bins))
     default_f0 = CHEAPTRICK_UV_F0
-    run_lo, run_hi = _uv_run_bounds(f0, temporal_positions, fs, f0_floor)
+    # only consumed by the clamp branch below; the fidelity tooling's
+    # co-analysis path runs with uv_boundary_clamp=False
+    run_lo, run_hi = (_uv_run_bounds(f0, temporal_positions, fs, f0_floor)
+                      if uv_boundary_clamp else (None, None))
 
     for i in range(T):
         voiced = f0[i] > f0_floor / 2

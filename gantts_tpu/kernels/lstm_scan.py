@@ -113,6 +113,52 @@ def _store_gates(g4_ref, j, ig, fg, gg, og):
     g4_ref[j, :, 3 * H:4 * H] = og.astype(od)
 
 
+def _dir_fwd_step(xp_j, b_row, h, c, m, whh, y_ref, c_ref, g4_ref, j):
+    """One masked LSTM cell step for one direction — THE pinned cell
+    math, shared by every forward kernel in this module (single-direction,
+    projection-fused, and bidirectional)."""
+    ig, fg, gg, og = _gates(xp_j, b_row, h, whh)
+    c_new = fg * c + ig * gg
+    h_new = og * jnp.tanh(c_new)
+    h = m * h_new + (1.0 - m) * h
+    c = m * c_new + (1.0 - m) * c
+    y_ref[j] = (h_new * m).astype(y_ref.dtype)
+    c_ref[j] = c
+    _store_gates(g4_ref, j, ig, fg, gg, og)
+    return h, c
+
+
+def _dir_bwd_step(g4_j, gh_j, c_j, c_prev, m, dh, dc, whh,
+                  dxp_ref, db_ref, j):
+    """One masked BPTT step for one direction — THE pinned adjoint math,
+    shared by the single-direction and bidirectional backward kernels."""
+    f32 = jnp.float32
+    H = dh.shape[-1]
+    ig = g4_j[:, 0:H].astype(f32)
+    fg = g4_j[:, H:2 * H].astype(f32)
+    gg = g4_j[:, 2 * H:3 * H].astype(f32)
+    og = g4_j[:, 3 * H:4 * H].astype(f32)
+    tc = jnp.tanh(c_j)
+    da = m * (dh + gh_j.astype(f32))
+    do_ = da * tc
+    dc_new = da * og * (1.0 - tc * tc) + m * dc
+    di = dc_new * gg
+    df = dc_new * c_prev
+    dg = dc_new * ig
+    dgi = di * ig * (1.0 - ig)
+    dgf = df * fg * (1.0 - fg)
+    dgg = dg * (1.0 - gg * gg)
+    dgo = do_ * og * (1.0 - og)
+    _store_gates(dxp_ref, j, dgi, dgf, dgg, dgo)
+    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
+    db_ref[0, :] += jnp.sum(dgates, axis=0)
+    dh = (1.0 - m) * dh + jax.lax.dot_general(
+        dgates.astype(whh.dtype), whh,
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dc = (1.0 - m) * dc + dc_new * fg
+    return dh, dc
+
+
 def _lstm_fwd_kernel(rev, chunk, n_chunks,
                      xp_ref, whh_ref, b_ref, len_ref,
                      y_ref, c_ref, g4_ref, h_carry, c_carry):
@@ -134,15 +180,8 @@ def _lstm_fwd_kernel(rev, chunk, n_chunks,
         j = (chunk - 1 - i_loop) if rev else i_loop
         s = block * chunk + j
         m = (s < lv).astype(f32)
-        ig, fg, gg, og = _gates(xp_ref[j], b_row, h, whh)
-        c_new = fg * c + ig * gg
-        h_new = og * jnp.tanh(c_new)
-        h = m * h_new + (1.0 - m) * h
-        c = m * c_new + (1.0 - m) * c
-        y_ref[j] = (h_new * m).astype(y_ref.dtype)
-        c_ref[j] = c                  # true carry, f32
-        _store_gates(g4_ref, j, ig, fg, gg, og)
-        return h, c
+        return _dir_fwd_step(xp_ref[j], b_row, h, c, m, whh,
+                             y_ref, c_ref, g4_ref, j)
 
     h_carry[...], c_carry[...] = jax.lax.fori_loop(
         0, chunk, body, (h_carry[...], c_carry[...]))
@@ -173,7 +212,6 @@ def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
     f32 = jnp.float32
     block = (n_chunks - 1 - t) if rev else t
     whh = whh_ref[...]
-    H = dh_carry.shape[-1]
     # forward-traversal-previous element: storage index t-1 for a forward
     # layer, t+1 for a reverse layer; at the traversal start it is zeros
     edge = 0 if layer_rev else chunk - 1  # its in-block index in cp
@@ -193,33 +231,10 @@ def _lstm_bwd_kernel(layer_rev, chunk, n_chunks,
         jc = jnp.clip(jp, 0, chunk - 1)
         c_prev = jnp.where(in_chunk, c_ref[jc], cp_ref[edge])
         c_prev = jnp.where(first, 0.0, c_prev)
-
-        ig = g4_ref[j, :, 0:H].astype(f32)
-        fg = g4_ref[j, :, H:2 * H].astype(f32)
-        gg = g4_ref[j, :, 2 * H:3 * H].astype(f32)
-        og = g4_ref[j, :, 3 * H:4 * H].astype(f32)
         # c_ref[j] == c_new for every unmasked frame (mask freezes the
         # carry only PAST a row's length, where m zeroes the adjoint)
-        tc = jnp.tanh(c_ref[j])
-
-        da = m * (dh + gh_ref[j].astype(f32))
-        do_ = da * tc
-        dc_new = da * og * (1.0 - tc * tc) + m * dc
-        di = dc_new * gg
-        df = dc_new * c_prev
-        dg = dc_new * ig
-        dgi = di * ig * (1.0 - ig)
-        dgf = df * fg * (1.0 - fg)
-        dgg = dg * (1.0 - gg * gg)
-        dgo = do_ * og * (1.0 - og)
-        _store_gates(dxp_ref, j, dgi, dgf, dgg, dgo)
-        dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
-        db_ref[0, :] += jnp.sum(dgates, axis=0)
-        dh = (1.0 - m) * dh + jax.lax.dot_general(
-            dgates.astype(whh.dtype), whh,
-            (((1,), (1,)), ((), ())), preferred_element_type=f32)
-        dc = (1.0 - m) * dc + dc_new * fg
-        return dh, dc
+        return _dir_bwd_step(g4_ref[j], gh_ref[j], c_ref[j], c_prev, m,
+                             dh, dc, whh, dxp_ref, db_ref, j)
 
     dh_carry[...], dc_carry[...] = jax.lax.fori_loop(
         0, chunk, body, (dh_carry[...], dc_carry[...]))
@@ -429,15 +444,8 @@ def _plstm_fwd_kernel(rev, chunk, n_chunks,
         j = (chunk - 1 - i_loop) if rev else i_loop
         s = block * chunk + j
         m = (s < lv).astype(f32)
-        ig, fg, gg, og = _gates(xp_scr[j], b_row, h, whh)
-        c_new = fg * c + ig * gg
-        h_new = og * jnp.tanh(c_new)
-        h = m * h_new + (1.0 - m) * h
-        c = m * c_new + (1.0 - m) * c
-        y_ref[j] = (h_new * m).astype(y_ref.dtype)
-        c_ref[j] = c
-        _store_gates(g4_ref, j, ig, fg, gg, og)
-        return h, c
+        return _dir_fwd_step(xp_scr[j], b_row, h, c, m, whh,
+                             y_ref, c_ref, g4_ref, j)
 
     h_carry[...], c_carry[...] = jax.lax.fori_loop(
         0, chunk, body, (h_carry[...], c_carry[...]))
@@ -613,20 +621,6 @@ def _bilstm_bwd_chunk(B, H, su, sw, sg):
     return _lstm_chunk(B, H, per_h, resident)
 
 
-def _dir_fwd_step(xp_j, b_row, h, c, m, whh, y_ref, c_ref, g4_ref, j):
-    """One masked LSTM cell step for one direction (the pinned cell math
-    of _lstm_fwd_kernel, factored for the bidirectional body)."""
-    ig, fg, gg, og = _gates(xp_j, b_row, h, whh)
-    c_new = fg * c + ig * gg
-    h_new = og * jnp.tanh(c_new)
-    h = m * h_new + (1.0 - m) * h
-    c = m * c_new + (1.0 - m) * c
-    y_ref[j] = (h_new * m).astype(y_ref.dtype)
-    c_ref[j] = c
-    _store_gates(g4_ref, j, ig, fg, gg, og)
-    return h, c
-
-
 def _bilstm_fwd_kernel(chunk, n_chunks,
                        xf_ref, xb_ref, wihf_ref, wihb_ref,
                        whhf_ref, whhb_ref, bf_ref, bb_ref, len_ref,
@@ -666,37 +660,6 @@ def _bilstm_fwd_kernel(chunk, n_chunks,
 
     hf_c[...], cf_c[...], hb_c[...], cb_c[...] = jax.lax.fori_loop(
         0, chunk, body, (hf_c[...], cf_c[...], hb_c[...], cb_c[...]))
-
-
-def _dir_bwd_step(g4_j, gh_j, c_j, c_prev, m, dh, dc, whh,
-                  dxp_ref, db_ref, j):
-    """One masked BPTT step for one direction (the pinned adjoint math of
-    _lstm_bwd_kernel, factored for the bidirectional body)."""
-    f32 = jnp.float32
-    H = dh.shape[-1]
-    ig = g4_j[:, 0:H].astype(f32)
-    fg = g4_j[:, H:2 * H].astype(f32)
-    gg = g4_j[:, 2 * H:3 * H].astype(f32)
-    og = g4_j[:, 3 * H:4 * H].astype(f32)
-    tc = jnp.tanh(c_j)
-    da = m * (dh + gh_j.astype(f32))
-    do_ = da * tc
-    dc_new = da * og * (1.0 - tc * tc) + m * dc
-    di = dc_new * gg
-    df = dc_new * c_prev
-    dg = dc_new * ig
-    dgi = di * ig * (1.0 - ig)
-    dgf = df * fg * (1.0 - fg)
-    dgg = dg * (1.0 - gg * gg)
-    dgo = do_ * og * (1.0 - og)
-    _store_gates(dxp_ref, j, dgi, dgf, dgg, dgo)
-    dgates = jnp.concatenate([dgi, dgf, dgg, dgo], axis=-1)
-    db_ref[0, :] += jnp.sum(dgates, axis=0)
-    dh = (1.0 - m) * dh + jax.lax.dot_general(
-        dgates.astype(whh.dtype), whh,
-        (((1,), (1,)), ((), ())), preferred_element_type=f32)
-    dc = (1.0 - m) * dc + dc_new * fg
-    return dh, dc
 
 
 def _bilstm_bwd_kernel(chunk, n_chunks,

@@ -95,8 +95,11 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
     E_loss_adv = 1.0
     # Multi-step program form, remembered across phases/epochs once the
     # scan fallback is taken (run_fused below) so a failing unrolled
-    # compile is not re-attempted every phase.  [None] = default.
-    mstep_form = [None]
+    # compile is not re-attempted every phase.  [None] = default
+    # (unrolled).  Resolve the env override here too so run_fused's
+    # "already on scan, nothing smaller to fall back to" check is exact.
+    mstep_form = ["scan" if os.environ.get("GANTTS_TPU_MULTISTEP_SCAN")
+                  else None]
 
     log = writer.log_value if writer is not None else (lambda *a: None)
 
@@ -138,7 +141,10 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                  if getattr(trainer, "supports_multi_step", False) else 1)
             mstep = trainer.multi_step_fn(train, form=mstep_form[0]) \
                 if K > 1 else None
-            mstep_ran = False  # becomes True after the first fused dispatch
+            # shapes whose fused program has RUN at least once this phase
+            # (jit recompiles per bucket shape, so compile rejection can
+            # hit any NEW shape mid-phase, not just the first dispatch)
+            mstep_ok = set()
             pend, pend_key = [], None
 
             def run_one(x, y, lengths, z):
@@ -153,7 +159,7 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                 acc.append(out)
 
             def run_fused(chunk):
-                nonlocal gstate, dstate, rng, mstep, mstep_ran
+                nonlocal gstate, dstate, rng, mstep
                 xs, ys, ls, zs = trainer.put_stacked_batch(
                     np.stack([c[0] for c in chunk]),
                     np.stack([c[1] for c in chunk]),
@@ -162,20 +168,32 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                     if cfg.add_noise else None)
                 R = (r_cache.get(chunk[0][0].shape[1])
                      if r_cache is not None else None)
+                mkey = (xs.shape, ys.shape)
                 try:
                     gstate, dstate, outs, rng = mstep(
                         gstate, dstate, ref_params, xs, ys, ls, R, zs,
                         adv_w_dev, rng)
                 except Exception:
-                    if mstep_ran:
-                        raise  # the program has run before: real error
-                    # First fused dispatch failed — on axon the unrolled
-                    # K-step program can be rejected at REMOTE-COMPILE
-                    # time (HTTP 413 for large programs; CLAUDE.md).
-                    # Compile rejection happens before execution, so the
-                    # donated state buffers are still live: retry once
-                    # with the K-x-smaller lax.scan form before giving up
-                    # (same math, bit-identical steps).
+                    # A fused dispatch can fail at REMOTE-COMPILE time on
+                    # axon (HTTP 413 for large programs; CLAUDE.md) — for
+                    # ANY new bucket shape, since jit recompiles per
+                    # shape.  Compile rejection happens before execution,
+                    # so the donated state buffers are still live: retry
+                    # once with the K-x-smaller lax.scan form (same math,
+                    # bit-identical steps).  Do NOT retry if this shape's
+                    # program has run before, if we are already on the
+                    # scan form (no smaller program to fall back to), or
+                    # if the failure happened MID-EXECUTION and consumed
+                    # the donated states (retrying would mask the real
+                    # error with 'Array has been deleted').
+                    states_dead = any(
+                        leaf.is_deleted()
+                        for leaf in jax.tree_util.tree_leaves(
+                            (gstate, dstate))
+                        if hasattr(leaf, "is_deleted"))
+                    if mkey in mstep_ok or mstep_form[0] == "scan" \
+                            or states_dead:
+                        raise
                     print("multi-step dispatch rejected; retrying with "
                           "the lax.scan program form")
                     mstep_form[0] = "scan"
@@ -183,7 +201,7 @@ def train_loop(trainer, gstate, dstate, ref_params, dataset_loaders, hp,
                     gstate, dstate, outs, rng = mstep(
                         gstate, dstate, ref_params, xs, ys, ls, R, zs,
                         adv_w_dev, rng)
-                mstep_ran = True
+                mstep_ok.add(mkey)
                 acc.append(outs)  # (K,)-stacked scalars
 
             def drain(rest_single):

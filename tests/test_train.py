@@ -553,3 +553,66 @@ def test_multi_step_rejected_program_falls_back_to_scan(monkeypatch):
     assert forms_requested[-1] == "scan"
     leaves = jax.tree_util.tree_leaves(jax.device_get(gs.params))
     assert all(np.isfinite(leaf).all() for leaf in leaves)
+
+
+def test_multi_step_second_shape_rejection_falls_back(monkeypatch):
+    """jit recompiles the fused program per bucket shape, so axon can
+    reject a NEW shape mid-phase AFTER another shape's program already
+    ran; the fallback must be per compiled shape, not
+    first-dispatch-only (round-5 review finding)."""
+    import jax
+    from gantts_tpu.train import GanTrainer, StepConfig
+    from gantts_tpu.train.loop import train_loop
+    from gantts_tpu.train.setup import init_models_and_states
+
+    monkeypatch.delenv("GANTTS_TPU_MULTISTEP_SCAN", raising=False)
+    hp = _small_vc_hp()
+    hp.nepoch = 1
+    hp.generator_params.update(in_dim=57, out_dim=57)
+    hp.discriminator_params.update(in_dim=19)
+    cfg = StepConfig.from_hparams(hp, w_d=0.0, mse_w=0.0, mge_w=1.0,
+                                  update_d=False, update_g=True)
+    model_g, model_d, tx_g, tx_d, gs, ds = init_models_and_states(hp)
+    tr = GanTrainer(model_g, model_d, tx_g, tx_d, cfg,
+                    np.zeros(57, np.float32), np.ones(57, np.float32),
+                    windows=hp.windows)
+
+    real = tr.multi_step_fn
+    rejected_shapes = []
+
+    def fake_multi_step_fn(train, form=None):
+        fn = real(train, form=form)
+        if form == "scan":
+            return fn
+
+        def maybe(gstate, dstate, ref, xs, *rest):
+            # the T=48 bucket's unrolled program is "too large"; the
+            # T=32 bucket's compiles and runs fine
+            if xs.shape[2] == 48:
+                rejected_shapes.append(xs.shape)
+                raise RuntimeError("remote compile: HTTP 413 payload "
+                                   "too large (simulated)")
+            return fn(gstate, dstate, ref, xs, *rest)
+
+        return maybe
+
+    monkeypatch.setattr(tr, "multi_step_fn", fake_multi_step_fn)
+
+    rs = np.random.RandomState(0)
+
+    def batch(T):
+        return (rs.rand(4, T, 57).astype(np.float32),
+                rs.rand(4, T, 57).astype(np.float32),
+                np.array([T - 12, T, T - 15, T], np.int32))
+
+    # two fused chunks of the short bucket first (the unrolled program
+    # RUNS), then the long bucket whose unrolled compile is rejected
+    loaders = {"train": [batch(32), batch(32), batch(48), batch(48)],
+               "test": [batch(32), batch(32)]}
+    gs, ds, _ = train_loop(tr, gs, ds, None, loaders, hp, w_d=0.0,
+                           mse_w=0.0, mge_w=1.0, update_d=False,
+                           update_g=True, checkpoint_dir=None, writer=None,
+                           steps_per_dispatch=2)
+    assert len(rejected_shapes) == 1  # fell back, did not re-attempt
+    leaves = jax.tree_util.tree_leaves(jax.device_get(gs.params))
+    assert all(np.isfinite(leaf).all() for leaf in leaves)

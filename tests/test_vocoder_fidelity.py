@@ -28,8 +28,9 @@ from gantts_tpu.frontend import world  # noqa: E402
 
 
 def test_harvest_f0_accuracy():
-    # Post-coherence-gate levels (vocoder_fidelity.json: rmse 0.26 Hz,
-    # core vuv 0.64%, zero gross over 6 utterances) with ~4x margin.
+    # Round-5 levels incl. the onset re-probe (vocoder_fidelity.json:
+    # rmse 0.298 Hz, core vuv 0.88%, zero gross over 6 utterances) with
+    # generous margin.
     x, f0_true, vuv = make_utterance(0)
     f0, t = world.harvest(x, FS)
     m = f0_metrics(f0, f0_true, vuv)
